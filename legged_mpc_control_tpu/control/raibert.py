@@ -1,0 +1,40 @@
+"""Raibert-heuristic foothold planning.
+
+reference: BaseInterface.cpp:358-399 — foothold = yaw-rotated default stance
+position + delta, with
+    delta = sqrt(h/g) (v - v_d) + T_stance/4 * v_d
+(the reference writes T_stance/4 as (1/speed/2)/2) and per-axis clamping.
+"""
+
+import jax.numpy as jnp
+
+from legged_mpc_control_tpu.constants import (
+    FOOT_DELTA_X_LIMIT,
+    FOOT_DELTA_Y_LIMIT,
+)
+from legged_mpc_control_tpu.config import RobotParams
+
+
+def raibert_footholds(root_pos, root_lin_vel, root_rot_mat_z,
+                      root_lin_vel_d_rel, params: RobotParams):
+    """Returns (target_abs (4,3), target_world (4,3)).
+
+    reference: BaseInterface.cpp:358-399.
+    """
+    v = root_lin_vel.at[2].set(0.0)
+    v_d = root_rot_mat_z @ root_lin_vel_d_rel
+
+    target_abs = jnp.einsum("ab,lb->la", root_rot_mat_z,
+                            params.default_foot_pos)
+    k = jnp.sqrt(jnp.abs(root_pos[2]) / 9.8)
+    t_factor = (1.0 / params.gait_counter_speed / 2.0) / 2.0
+    delta = k * (v[:2] - v_d[:2]) + t_factor * v_d[:2]          # (2,)
+    delta = jnp.clip(
+        delta,
+        jnp.array([-FOOT_DELTA_X_LIMIT, -FOOT_DELTA_Y_LIMIT],
+                  dtype=delta.dtype),
+        jnp.array([FOOT_DELTA_X_LIMIT, FOOT_DELTA_Y_LIMIT],
+                  dtype=delta.dtype))
+    target_abs = target_abs.at[:, 0:2].add(delta[None, :])
+    target_world = target_abs + root_pos[None, :]
+    return target_abs, target_world

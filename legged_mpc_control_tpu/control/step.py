@@ -1,0 +1,197 @@
+"""The fused control step: the reference's three threads as one pure function.
+
+The reference runs MPC (100 Hz), low-level control (800 Hz) and
+feedback/estimation (800 Hz) as free-running threads over a racy blackboard
+(reference: main.cpp:110-256). Here one MPC "tick" is a pure function:
+
+    tick = [ mpc_tick ; scan of 8 x (sense -> estimate -> raibert ->
+             tau_ctrl -> safety -> PD -> sim step) ]
+
+compiled under `jit`, batched over scenarios with `vmap`, rolled out in time
+with `lax.scan`. The 8:1 rate ratio is the reference's
+MPC_UPDATE_FREQUENCY / LOW_LEVEL_CTRL_FREQUENCY (LeggedParams.h:7-8).
+"""
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from legged_mpc_control_tpu import constants as C
+from legged_mpc_control_tpu.config import RobotParams
+from legged_mpc_control_tpu.control import low_level, raibert, safety, sensors
+from legged_mpc_control_tpu.estimation import basic_kf
+from legged_mpc_control_tpu.mpc import convex_mpc, gait as gait_mod
+from legged_mpc_control_tpu.ops import filters
+from legged_mpc_control_tpu.sim import srb_sim
+from legged_mpc_control_tpu.types import (
+    ControllerState,
+    init_ctrl,
+    init_feedback,
+    init_joy,
+)
+
+
+@struct.dataclass
+class LoopState:
+    """Carry of the closed-loop rollout: controller + simulated world."""
+    controller: ControllerState
+    sim: srb_sim.SimState
+
+
+def controller_init(params: RobotParams, dtype=jnp.float32,
+                    body_height=0.3) -> ControllerState:
+    window = int(1000.0 * C.MPC_DT * 0.3)   # reference: ConvexMpc.cpp:19-20
+    legs = jnp.arange(4, dtype=jnp.int32)
+    pattern = gait_mod.trot_pattern(dtype)
+    return ControllerState(
+        fbk=init_feedback(dtype),
+        ctrl=init_ctrl(dtype),
+        joy=init_joy(dtype, body_height),
+        gait=jax.vmap(gait_mod.gait_leg_init, in_axes=(None, 0, None))(
+            pattern, legs, dtype),
+        kf=basic_kf.KfState(
+            x=jnp.zeros(18, dtype=dtype),
+            P=jnp.eye(18, dtype=dtype) * 3.0,
+            initialized=jnp.zeros((), dtype=bool)),
+        vel_filter_x=filters.moving_window_init(window, dtype=dtype),
+        vel_filter_y=filters.moving_window_init(window, dtype=dtype),
+        estimation_inited=jnp.zeros((), dtype=bool),
+        mpc_inited=jnp.zeros((), dtype=bool),
+    )
+
+
+def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
+                    dt, use_ground_truth: bool) -> ControllerState:
+    """Feedback-thread body: ingest raw sensors, run FK + contact detection +
+    state estimation (reference: BaseInterface::fbk_update -> sensor_update ->
+    estimation_update, BaseInterface.cpp:212-449)."""
+    fbk = cs.fbk.replace(
+        root_quat=sensors_raw["quat"],
+        imu_acc=sensors_raw["imu_acc"],
+        imu_ang_vel=sensors_raw["imu_ang_vel"],
+        joint_pos=sensors_raw["joint_pos"],
+        joint_vel=sensors_raw["joint_vel"],
+        foot_force_sensor=sensors_raw["foot_force_sensor"],
+        joint_tau_est=sensors_raw.get("joint_tau_est",
+                                      cs.fbk.joint_tau_est),
+    )
+    if use_ground_truth:
+        # kf_type 0 bypass (reference: GazeboInterface.cpp:124-141)
+        fbk = fbk.replace(root_pos=sensors_raw["pos"],
+                          root_lin_vel=sensors_raw["vel"])
+    fbk = sensors.sensor_update(fbk, params,
+                                joint_ang_tgt=cs.ctrl.joint_ang_tgt,
+                                joint_vel_tgt=cs.ctrl.joint_vel_tgt)
+
+    kf = cs.kf
+    est_inited = cs.estimation_inited
+    if not use_ground_truth:
+        # linear KF path, kf_type 1 (reference: BaseInterface.cpp:407-413)
+        kf_fresh = basic_kf.kf_init(fbk.root_rot_mat, fbk.foot_pos_rel,
+                                    dtype=fbk.root_pos.dtype)
+        contacts = jnp.where(cs.ctrl.movement_mode == 0,
+                             jnp.ones(4, dtype=fbk.root_pos.dtype),
+                             fbk.foot_contact_flag)
+        kf_stepped, pos_est, vel_est = basic_kf.kf_update(
+            kf, dt, fbk.root_rot_mat, fbk.imu_acc, fbk.imu_ang_vel,
+            fbk.foot_pos_rel, fbk.foot_vel_rel, contacts)
+        first = ~kf.initialized
+        kf = jax.tree.map(
+            lambda a, b: jnp.where(first, a, b), kf_fresh, kf_stepped)
+        fbk = fbk.replace(
+            root_pos=jnp.where(first, fbk.root_pos, pos_est),
+            root_lin_vel=jnp.where(first, fbk.root_lin_vel, vel_est),
+            estimated_contacts=contacts,
+        )
+        est_inited = jnp.ones((), dtype=bool)
+    else:
+        est_inited = jnp.ones((), dtype=bool)
+
+    # Raibert foothold targets (reference: BaseInterface.cpp:358-399)
+    target_abs, target_world = raibert.raibert_footholds(
+        fbk.root_pos, fbk.root_lin_vel, fbk.root_rot_mat_z,
+        cs.ctrl.root_lin_vel_d_rel, params)
+    ctrl = cs.ctrl.replace(foot_pos_target_abs=target_abs,
+                           foot_pos_target_world=target_world)
+    return cs.replace(fbk=fbk, ctrl=ctrl, kf=kf,
+                      estimation_inited=est_inited)
+
+
+def lowlevel_update(cs: ControllerState, params: RobotParams):
+    """Control-thread body: GRF mapping + swing IK + safety + PD torque
+    (reference: ctrl_update, GazeboInterface.cpp:63-88)."""
+    q_tgt, dq_tgt, tau_ff = low_level.tau_ctrl_update(
+        cs.fbk, cs.ctrl.optimized_state, cs.ctrl.optimized_input,
+        cs.ctrl.movement_mode, params)
+    ctrl = cs.ctrl.replace(joint_ang_tgt=q_tgt, joint_vel_tgt=dq_tgt,
+                           joint_tau_tgt=tau_ff)
+    tau = low_level.pd_torque(cs.fbk.joint_pos, cs.fbk.joint_vel,
+                              q_tgt, dq_tgt, tau_ff, params)
+    safe = safety.is_safe(cs.fbk.root_euler, cs.fbk.joint_vel)
+    tau = safety.gate_torques(tau, safe)
+    return cs.replace(ctrl=ctrl), tau, safe
+
+
+def _sim_sensors(sim: srb_sim.SimState, params: RobotParams, grf_est):
+    raw = srb_sim.read_sensors(sim, params)
+    raw["foot_force_sensor"] = grf_est
+    return raw
+
+
+@partial(jax.jit, static_argnames=("horizon", "substeps", "use_ground_truth",
+                                   "pdip_iters"))
+def closed_loop_tick(loop: LoopState, params: RobotParams,
+                     pattern: gait_mod.GaitPattern, *,
+                     horizon: int = 10,
+                     substeps: int = C.SUBSTEPS_PER_MPC_TICK,
+                     use_ground_truth: bool = True,
+                     pdip_iters: int = 15) -> LoopState:
+    """One full MPC period of closed-loop sim: mpc tick + `substeps`
+    low-level/sim steps."""
+    dt_mpc = C.MPC_DT
+    dt_ll = dt_mpc / substeps
+
+    cs = loop.controller
+    # feedback once before MPC so the first tick sees valid sensors
+    grf_normal = jnp.where(loop.sim.contact,
+                           _anchored_normal_force(loop, params), 0.0)
+    cs = feedback_update(cs, _sim_sensors(loop.sim, params, grf_normal),
+                         params, dt_ll, use_ground_truth)
+    cs = convex_mpc.mpc_tick(cs, params, pattern, dt_mpc,
+                             horizon=horizon, pdip_iters=pdip_iters)
+
+    def substep(carry, _):
+        cs, sim = carry
+        cs, tau, _safe = lowlevel_update(cs, params)
+        sim = srb_sim.sim_step(sim, tau, params, dt_ll)
+        grf_n = jnp.where(sim.contact,
+                          _anchored_normal_force(
+                              LoopState(controller=cs, sim=sim), params),
+                          0.0)
+        cs = feedback_update(cs, _sim_sensors(sim, params, grf_n), params,
+                             dt_ll, use_ground_truth)
+        return (cs, sim), None
+
+    (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
+                                length=substeps)
+    return LoopState(controller=cs, sim=sim)
+
+
+def _anchored_normal_force(loop: LoopState, params: RobotParams):
+    """Foot-sensor model: normal force the anchored legs transmit, from the
+    last commanded torques (quasi-static)."""
+    from legged_mpc_control_tpu.models import kinematics as kin
+    from legged_mpc_control_tpu.ops import so3
+
+    sim = loop.sim
+    tau = loop.controller.ctrl.joint_tau_tgt.reshape(4, 3)
+    q_legs = sim.q.reshape(4, 3)
+    jac = kin.jac_legs(q_legs, params.rho_fix)
+    f_rel = jnp.linalg.solve(jnp.swapaxes(jac, -1, -2),
+                             (-tau)[..., None])[..., 0]
+    R = so3.quat_to_rotmat(sim.quat)
+    fz = jnp.einsum("ab,lb->la", R, f_rel)[:, 2]
+    return jnp.maximum(fz, 0.0)

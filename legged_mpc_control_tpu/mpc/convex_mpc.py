@@ -1,0 +1,105 @@
+"""Convex-MPC tick orchestrator.
+
+Functional equivalent of `ConvexMpc::update`
+(reference: src/legged_ctrl/src/mpc_ctrl/convex_mpc/ConvexMpc.cpp:24-108):
+joystick-command filtering, per-leg gait FSM stepping, QP construction +
+solve, and packing of `optimized_state` / `optimized_input` for the
+low-level controller.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from legged_mpc_control_tpu.config import RobotParams
+from legged_mpc_control_tpu.mpc import gait as gait_mod
+from legged_mpc_control_tpu.mpc import pdip, qp_builder, reference
+from legged_mpc_control_tpu.ops.filters import moving_window_update
+from legged_mpc_control_tpu.types import ControllerState
+
+
+def mpc_tick(state: ControllerState, params: RobotParams,
+             pattern: gait_mod.GaitPattern, dt, *,
+             horizon: int, pdip_iters: int = 18) -> ControllerState:
+    """One MPC update (reference 100 Hz thread body, ConvexMpc.cpp:24-62)."""
+    fbk, ctrl, joy = state.fbk, state.ctrl, state.joy
+    dtype = fbk.root_pos.dtype
+    legs = jnp.arange(4, dtype=jnp.int32)
+
+    # --- joystick command processing (reference: ConvexMpc.cpp:33-38) ---
+    vfx, velx_f = moving_window_update(state.vel_filter_x, joy.velx)
+    vfy, vely_f = moving_window_update(state.vel_filter_y, joy.vely)
+    ctrl = ctrl.replace(
+        root_pos_d=ctrl.root_pos_d.at[2].set(joy.body_height),
+        root_lin_vel_d_rel=ctrl.root_lin_vel_d_rel
+        .at[0].set(velx_f).at[1].set(vely_f),
+        root_ang_vel_d_rel=ctrl.root_ang_vel_d_rel.at[2].set(joy.yaw_rate),
+        root_euler_d=ctrl.root_euler_d.at[2].add(joy.yaw_rate * dt),
+    )
+
+    # --- foot update (reference: ConvexMpc.cpp:80-108) ---
+    standing = ctrl.movement_mode == 0
+    gait_reset = jax.vmap(
+        gait_mod.gait_leg_reset, in_axes=(0, None, 0))(
+        state.gait, pattern, legs)
+    gait_upd = jax.vmap(
+        gait_mod.gait_leg_update,
+        in_axes=(0, None, 0, None, None, 0, 0, 0))(
+        state.gait, pattern, legs, dt, params.gait_counter_speed,
+        fbk.foot_pos_world, ctrl.foot_pos_target_world,
+        fbk.foot_contact_bool)
+    new_gait = jax.tree.map(
+        lambda a, b: jnp.where(standing, a, b), gait_reset, gait_upd)
+
+    plan_contacts = jnp.where(
+        standing, jnp.ones(4, dtype=dtype),
+        jax.vmap(gait_mod.get_contact_state)(gait_upd))
+    ctrl = ctrl.replace(plan_contacts=plan_contacts)
+
+    # --- grf update (reference: ConvexMpc.cpp:64-78) ---
+    cmd = reference.MpcCmd(
+        root_pos_d=ctrl.root_pos_d,
+        root_euler_d=ctrl.root_euler_d,
+        root_lin_vel_d_rel=ctrl.root_lin_vel_d_rel,
+        root_ang_vel_d_rel=ctrl.root_ang_vel_d_rel,
+    )
+    x_ref, yaw_ref, _ = reference.build_reference(
+        fbk.root_euler, fbk.root_pos, fbk.root_rot_mat, cmd, horizon, dt)
+    A_seq, B = reference.build_linearization(
+        yaw_ref, params.mass, params.trunk_inertia, fbk.root_rot_mat,
+        fbk.foot_pos_abs, dt)
+
+    # contact schedule down the horizon: step 0 from current plan, future
+    # steps from FSM phase prediction (reference: ConvexQPSolver.cpp:329-346)
+    ks = jnp.arange(1, horizon, dtype=dtype) * dt
+    future = jax.vmap(
+        lambda t: jax.vmap(
+            gait_mod.predict_contact_state, in_axes=(0, None, 0, None, None))(
+            new_gait, pattern, legs, t, params.gait_counter_speed))(ks)
+    future = jnp.where(standing, jnp.ones_like(future), future)
+    contact = jnp.concatenate([plan_contacts[None, :], future], axis=0)
+
+    x0 = jnp.concatenate([fbk.root_euler, fbk.root_pos,
+                          fbk.root_ang_vel, fbk.root_lin_vel])
+    qp = qp_builder.build_condensed_qp(
+        x0, x_ref, A_seq, B, contact, params.q_weights, params.r_weights,
+        params.mu, params.fz_max, dt)
+    res = pdip.solve_qp_pdip(qp.P, qp.q, qp.mu, qp.fz_max,
+                             contact=contact, iters=pdip_iters)
+    grf = res.u[0:12]
+    # NaN guard (reference: ConvexQPSolver.cpp:321-326)
+    grf = jnp.where(jnp.any(jnp.isnan(grf)), jnp.zeros_like(grf), grf)
+
+    # --- pack outputs (reference: ConvexMpc.cpp:49-57) ---
+    foot_targets = new_gait.target_pos            # (4,3) FSM world targets
+    foot_vels = new_gait.target_vel
+    optimized_state = jnp.concatenate(
+        [ctrl.root_pos_d, ctrl.root_euler_d, foot_targets.reshape(-1)])
+    optimized_input = jnp.concatenate([grf, foot_vels.reshape(-1)])
+    ctrl = ctrl.replace(optimized_state=optimized_state,
+                        optimized_input=optimized_input)
+
+    return state.replace(
+        ctrl=ctrl, gait=new_gait,
+        vel_filter_x=vfx, vel_filter_y=vfy,
+        mpc_inited=jnp.ones((), dtype=bool),
+    )

@@ -1,0 +1,210 @@
+"""Batched primal-dual interior-point solver for the condensed MPC QP.
+
+Replaces the reference's OSQP/ADMM solve (reference: ConvexQPSolver.cpp:
+182-194, 314-327) with a Mehrotra predictor-corrector interior-point method
+designed for TPU execution:
+
+  * fixed iteration count — no data-dependent control flow under `jit`;
+    converged batch elements take frozen (zero) steps via masking;
+  * the inequality Jacobian G is never materialized: the 6 constraint rows
+    per (step, leg) touch only that leg's 3 forces, so G@u, G^T@w and the
+    Newton contribution G^T D G (block-diagonal 3x3) are computed
+    arithmetically on (H, 4, ...) tensors;
+  * one Cholesky factorization of (P + G^T D G) per iteration, two
+    triangular-solve pairs (predictor + corrector) — all batched over
+    scenarios by `vmap`, mapping to TPU batched GEMM / blocked Cholesky.
+
+Constraint rows per (step k, leg l), forces u = (fx, fy, fz):
+    -fx - mu fz <= 0            (reference friction pyramid,
+     fx - mu fz <= 0             ConvexQPSolver.cpp:130-158)
+    -fy - mu fz <= 0
+     fy - mu fz <= 0
+     fz         <= fz_max       (box, :160-177; contact gating is done by
+    -fz         <= 0             masking B columns — see qp_builder.py)
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+N_CON_PER_LEG = 6
+
+
+class PdipResult(NamedTuple):
+    u: jnp.ndarray            # (12H,) optimal GRFs over the horizon
+    gap: jnp.ndarray          # final average complementarity gap
+    r_dual: jnp.ndarray       # final dual residual inf-norm
+    iters: jnp.ndarray        # iterations actually used (<= max_iter)
+
+
+def _g_apply(u_legs, mu):
+    """G @ u. u_legs: (H, 4, 3) -> (H, 4, 6)."""
+    fx, fy, fz = u_legs[..., 0], u_legs[..., 1], u_legs[..., 2]
+    mufz = mu * fz
+    return jnp.stack(
+        [-fx - mufz, fx - mufz, -fy - mufz, fy - mufz, fz, -fz], axis=-1)
+
+
+def _gt_apply(w, mu):
+    """G^T @ w. w: (H, 4, 6) -> (H, 4, 3)."""
+    w1, w2, w3, w4, w5, w6 = (w[..., i] for i in range(6))
+    return jnp.stack([
+        -w1 + w2,
+        -w3 + w4,
+        -mu * (w1 + w2 + w3 + w4) + w5 - w6,
+    ], axis=-1)
+
+
+def _gtdg_blocks(d, mu):
+    """3x3 blocks of G^T diag(d) G per (step, leg). d: (H, 4, 6) -> (H,4,3,3)."""
+    d1, d2, d3, d4, d5, d6 = (d[..., i] for i in range(6))
+    a = d1 + d2
+    b = d3 + d4
+    c = mu * (d1 - d2)
+    e = mu * (d3 - d4)
+    f = mu * mu * (d1 + d2 + d3 + d4) + d5 + d6
+    zero = jnp.zeros_like(a)
+    row0 = jnp.stack([a, zero, c], axis=-1)
+    row1 = jnp.stack([zero, b, e], axis=-1)
+    row2 = jnp.stack([c, e, f], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def _h_vec(H, fz_max, dtype):
+    """RHS h of G u <= h: (H, 4, 6). The fz cap stays fz_max for all legs;
+    swing-leg forces are already forced to zero by B-masking + R-penalty."""
+    h1 = jnp.zeros((H, 4, 4), dtype=dtype)
+    h5 = jnp.full((H, 4, 1), fz_max, dtype=dtype)
+    h6 = jnp.zeros((H, 4, 1), dtype=dtype)
+    return jnp.concatenate([h1, h5, h6], axis=-1)
+
+
+def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
+    """Solve min 1/2 u^T P u + q^T u s.t. friction/box constraints.
+
+    Args:
+      P: (12H, 12H) PSD Hessian. q: (12H,).
+      mu, fz_max: scalars.
+      iters: fixed Mehrotra iteration count (static; converged elements
+             freeze, so a generous count is safe).
+      tol: complementarity-gap freeze threshold. Defaults to 1e-11 in f64 /
+           1e-7 in f32. Once an element's gap, dual and primal residuals all
+           drop below tol its iterates freeze — this both saves the central
+           path from post-convergence blow-up (lambda/s -> inf) and keeps
+           the whole solve branchless.
+
+    Returns PdipResult. Fully jittable; vmap over leading batch via jax.vmap.
+    """
+    n = P.shape[-1]
+    H = n // 12
+    dtype = P.dtype
+    m = H * 4 * N_CON_PER_LEG
+    if tol is None:
+        tol = 1e-11 if dtype == jnp.float64 else 1e-7
+    # cap on the IP scaling d = lambda/s: bounds cond(K) so the Cholesky
+    # stays finite even if an element runs past its freeze point
+    d_max = 1e14 if dtype == jnp.float64 else 1e8
+
+    h = _h_vec(H, fz_max, dtype)
+
+    def Gdot(u):
+        return _g_apply(u.reshape(H, 4, 3), mu)
+
+    def GTdot(w):
+        return _gt_apply(w, mu).reshape(n)
+
+    # --- initialization ---
+    u = jnp.zeros((n,), dtype=dtype)
+    s = jnp.maximum(h - Gdot(u), 1.0)
+    lam = jnp.ones_like(s)
+
+    eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
+
+    def newton_solve(L, rhs):
+        x = solve_triangular(L, rhs, lower=True)
+        return solve_triangular(L.T, x, lower=False)
+
+    def body(carry, _):
+        u, s, lam, done = carry
+
+        r_dual = P @ u + q + GTdot(lam)                  # (n,)
+        r_prim = Gdot(u) + s - h                         # (H,4,6)
+        mu_gap = jnp.sum(s * lam) / m
+
+        d = jnp.clip(lam / jnp.maximum(s, eps), 0.0, d_max)   # (H,4,6)
+        K = P + _block_diag_add(_gtdg_blocks(d, mu), n, dtype)
+        # regularize for factorization robustness
+        K = K + jnp.eye(n, dtype=dtype) * (1e-11 if dtype == jnp.float64
+                                           else 1e-7)
+        L = jnp.linalg.cholesky(K)
+
+        def solve_dir(rc):
+            """Newton direction for complementarity residual rc."""
+            w = (lam * r_prim - rc) / jnp.maximum(s, eps)
+            rhs = -(r_dual + GTdot(w))
+            du = newton_solve(L, rhs)
+            ds = -(r_prim + Gdot(du))
+            dlam = -(rc + lam * ds) / jnp.maximum(s, eps)
+            return du, ds, dlam
+
+        # predictor (affine)
+        rc_aff = lam * s
+        du_a, ds_a, dl_a = solve_dir(rc_aff)
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0),
+                              jnp.inf)
+            return jnp.minimum(1.0, jnp.min(ratio))
+
+        a_p = max_step(s, ds_a)
+        a_d = max_step(lam, dl_a)
+        mu_aff = jnp.sum((s + a_p * ds_a) * (lam + a_d * dl_a)) / m
+        sigma = (mu_aff / jnp.maximum(mu_gap, eps)) ** 3
+        sigma = jnp.clip(sigma, 1e-4, 0.9)
+
+        # corrector, with the standard clamp on the cross term so a wild
+        # affine direction cannot destroy the centrality target
+        corr = jnp.clip(ds_a * dl_a, -10.0 * mu_gap, 10.0 * mu_gap)
+        rc = lam * s + corr - sigma * mu_gap
+        du, ds, dlam = solve_dir(rc)
+
+        a_p = 0.99 * max_step(s, ds)
+        a_d = 0.99 * max_step(lam, dlam)
+
+        # freeze converged elements via where (not step-scaling: a frozen
+        # element may carry NaN directions from an exhausted central path,
+        # and 0 * NaN = NaN)
+        conv = (mu_gap < tol) & (jnp.max(jnp.abs(r_prim)) < 1e3 * tol)
+        done = done | conv
+        u2 = jnp.where(done, u, u + a_p * du)
+        s2 = jnp.where(done, s, s + a_p * ds)
+        lam2 = jnp.where(done, lam, lam + a_d * dlam)
+        return (u2, s2, lam2, done), None
+
+    done0 = jnp.zeros((), dtype=bool)
+    (u, s, lam, done), _ = jax.lax.scan(
+        body, (u, s, lam, done0), None, length=iters)
+
+    if contact is not None:
+        # Swing-leg forces are exactly zero at the optimum (their columns
+        # were masked out of the dynamics and only the tiny R penalty acts
+        # on them), but with r ~ 1e-4 the interior point leaves an
+        # O(sqrt(gap)/r) residue on them. Zeroing them is exact.
+        u = u * jnp.repeat(contact.reshape(H, 4), 3, axis=-1).reshape(n)
+
+    gap = jnp.sum(s * lam) / m
+    r_dual = jnp.max(jnp.abs(P @ u + q + GTdot(lam)))
+    return PdipResult(u=u, gap=gap, r_dual=r_dual,
+                      iters=jnp.asarray(iters))
+
+
+def _block_diag_add(blocks, n, dtype):
+    """Assemble (H,4,3,3) blocks into an (n, n) block-diagonal matrix."""
+    nb = n // 3
+    b = blocks.reshape(nb, 3, 3)
+    out = jnp.zeros((nb, 3, nb, 3), dtype=dtype)
+    idx = jnp.arange(nb)
+    out = out.at[idx, :, idx, :].set(b)
+    return out.reshape(n, n)

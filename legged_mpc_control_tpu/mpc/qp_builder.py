@@ -1,0 +1,201 @@
+"""Condensed-horizon convex MPC QP construction.
+
+The reference hands OSQP a sparse QP over `[u_0, x_1, u_1, ..., x_H]` with 360
+dynamics equalities (reference: ConvexQPSolver.cpp:60-128, 286-305). On TPU we
+eliminate the states instead: substituting
+
+    X_k := x_{k+1} = Ad_k X_{k-1} + Bd_k u_k + d,      X_{-1} = x0
+    d = [0...0, -g*dt]                      (reference: :175-177, 294-297)
+
+into the tracking cost yields a *dense* QP in U = [u_0..u_{H-1}] in R^{12H}:
+
+    min_U  1/2 U^T P U + q^T U
+    s.t.   per (step k, leg l):  friction pyramid + normal-force box
+           (block-separable 6 rows over that leg's 3 forces)
+
+    P = S^T Qbar S + Rbar,   q = S^T Qbar (c - Xref)
+    S[k,j] = Ad_k ... Ad_{j+1} Bd_j  (block lower-triangular)
+    c_k    = prefix rollout of x0 under Ad_k and d
+
+This is exactly the reference QP after exact elimination of its equality
+constraints — same optimum — but every operation is a batched matmul that maps
+onto the MXU, and the inequality structure stays block-diagonal for the
+interior-point solver (pdip.py).
+
+Contact gating: the reference zeroes the normal-force upper bound for swing
+legs (fz in [0, 0], reference: :329-346), which forces the swing-leg force to
+exactly 0 (friction rows then pin fx=fy=0). We realize the same optimum by
+masking those legs' columns out of Bd per step — their forces decouple, carry
+only the R-penalty, and solve to exactly 0 — avoiding the empty-interior box
+that would break an interior-point method.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from legged_mpc_control_tpu.constants import (
+    DIM_GRF,
+    GRAVITY,
+    MPC_STATE_DIM,
+    NUM_LEG,
+)
+
+
+class CondensedQP(NamedTuple):
+    """Dense condensed QP + separable constraint data."""
+    P: jnp.ndarray          # (12H, 12H) Hessian (PSD)
+    q: jnp.ndarray          # (12H,)
+    contact: jnp.ndarray    # (H, 4) contact schedule in {0., 1.}
+    mu: jnp.ndarray         # friction coefficient (scalar)
+    fz_max: jnp.ndarray     # normal force cap (scalar)
+
+
+def build_condensed_qp(x0, x_ref, A_seq, B, contact, q_weights, r_weights,
+                       mu, fz_max, dt):
+    """Build the condensed QP.
+
+    Args:
+      x0:       (12,) current state [rpy, pos, omega, v].
+      x_ref:    (H, 12) reference states; x_{k+1} tracks x_ref[k]
+                (reference: ConvexQPSolver.cpp:262-276, 308).
+      A_seq:    (H, 12, 12) discrete A per step (yaw-linearized).
+      B:        (12, 12) discrete B (current foot positions; the reference
+                uses the same B for all steps, ConvexQPSolver.cpp:280-283).
+      contact:  (H, 4) contact schedule, {0,1}.
+      q_weights,(12,) / r_weights (12,): diagonal costs.
+      mu, fz_max: friction / force cap scalars.
+      dt: MPC step (for the gravity affine term).
+
+    Returns CondensedQP.
+    """
+    H = x_ref.shape[0]
+    dtype = x_ref.dtype
+
+    # per-step B with swing-leg columns masked
+    leg_mask = jnp.repeat(contact, 3, axis=-1)          # (H, 12)
+    B_seq = B[None, :, :] * leg_mask[:, None, :]        # (H, 12, 12)
+
+    # gravity affine term d on the v_z row
+    d = jnp.zeros((MPC_STATE_DIM,), dtype=dtype).at[11].set(-GRAVITY * dt)
+
+    # --- free-evolution rollout c_k = Ad_k c_{k-1} + d, c_{-1} = x0 ---
+    def roll(carry, Ak):
+        nxt = Ak @ carry + d
+        return nxt, nxt
+
+    _, c = jax.lax.scan(roll, x0, A_seq)                # (H, 12)
+
+    # --- S blocks: row k = Ad_k @ row_{k-1}, then set diagonal block B_k ---
+    eye_k = jnp.arange(H)
+
+    def srow(carry, inp):
+        k, Ak, Bk = inp
+        row = jnp.einsum("ab,jbc->jac", Ak, carry)      # (H, 12, 12)
+        row = jnp.where((eye_k == k)[:, None, None], Bk[None], row)
+        return row, row
+
+    rows0 = jnp.zeros((H, MPC_STATE_DIM, DIM_GRF), dtype=dtype)
+    _, S = jax.lax.scan(srow, rows0, (eye_k, A_seq, B_seq))  # (H, H, 12, 12)
+
+    # flatten to (12H, 12H): rows are states (k), cols are inputs (j)
+    Sm = S.transpose(0, 2, 1, 3).reshape(H * MPC_STATE_DIM, H * DIM_GRF)
+
+    qbar = jnp.tile(q_weights, H)                       # (12H,)
+    rbar = jnp.tile(r_weights, H)
+
+    SQ = Sm * qbar[:, None]
+    P = Sm.T @ SQ + jnp.diag(rbar)
+    resid = (c - x_ref).reshape(-1)                     # (12H,)
+    q = SQ.T @ resid
+
+    return CondensedQP(P=P, q=q, contact=contact,
+                       mu=jnp.asarray(mu, dtype),
+                       fz_max=jnp.asarray(fz_max, dtype))
+
+
+def reference_sparse_qp(x0, x_ref, A_seq, B, contact, q_weights, r_weights,
+                        mu, fz_max, dt):
+    """Reproduce the reference's *sparse* QP (decision vars
+    [u_0, x_1, u_1, ..., x_H]) as dense numpy-style arrays.
+
+    Used by tests as the oracle formulation: identical to
+    reference: ConvexQPSolver.cpp:33-196, including the degenerate
+    fz in [0, 0*fz_max] swing boxes. Returns (Hs, g, Ac, lb, ub) for
+    min 1/2 z^T Hs z + g^T z  s.t.  lb <= Ac z <= ub.
+    """
+    import numpy as np
+
+    H = int(x_ref.shape[0])
+    n = (MPC_STATE_DIM + DIM_GRF) * H
+    x0 = np.asarray(x0, dtype=np.float64)
+    x_ref = np.asarray(x_ref, dtype=np.float64)
+    A_seq = np.asarray(A_seq, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    contact = np.asarray(contact, dtype=np.float64)
+    qw = np.asarray(q_weights, dtype=np.float64)
+    rw = np.asarray(r_weights, dtype=np.float64)
+    mu = float(mu)
+    fz_max = float(fz_max)
+
+    def u_off(k):
+        return k * (MPC_STATE_DIM + DIM_GRF)
+
+    def x_off(k):            # x_{k+1}
+        return k * (MPC_STATE_DIM + DIM_GRF) + DIM_GRF
+
+    # Hessian: alternating R, Q diagonal (reference: :33-50)
+    hdiag = np.zeros(n)
+    for k in range(H):
+        hdiag[u_off(k):u_off(k) + DIM_GRF] = rw
+        hdiag[x_off(k):x_off(k) + MPC_STATE_DIM] = qw
+    Hs = np.diag(hdiag)
+
+    # gradient: -Q x_ref[k] at x_{k+1} (reference: :308)
+    g = np.zeros(n)
+    for k in range(H):
+        g[x_off(k):x_off(k) + MPC_STATE_DIM] = -qw * x_ref[k]
+
+    n_dyn = MPC_STATE_DIM * H
+    n_fr = 4 * NUM_LEG * H
+    n_box = NUM_LEG * H
+    Ac = np.zeros((n_dyn + n_fr + n_box, n))
+    lb = np.zeros(n_dyn + n_fr + n_box)
+    ub = np.zeros(n_dyn + n_fr + n_box)
+
+    grav = GRAVITY * float(dt)
+    for k in range(H):
+        r = k * MPC_STATE_DIM
+        Ac[r:r + 12, u_off(k):u_off(k) + 12] = B
+        Ac[r:r + 12, x_off(k):x_off(k) + 12] = -np.eye(12)
+        if k == 0:
+            rhs = -A_seq[0] @ x0
+            rhs[11] += grav
+            lb[r:r + 12] = rhs
+            ub[r:r + 12] = rhs
+        else:
+            Ac[r:r + 12, x_off(k - 1):x_off(k - 1) + 12] = A_seq[k]
+            lb[r + 11] = grav
+            ub[r + 11] = grav
+
+    INF = 1e20
+    for k in range(H):
+        for l in range(NUM_LEG):
+            r = n_dyn + 16 * k + 4 * l
+            cx = u_off(k) + 3 * l
+            Ac[r + 0, cx] = 1; Ac[r + 0, cx + 2] = mu
+            Ac[r + 1, cx] = 1; Ac[r + 1, cx + 2] = -mu
+            Ac[r + 2, cx + 1] = 1; Ac[r + 2, cx + 2] = mu
+            Ac[r + 3, cx + 1] = 1; Ac[r + 3, cx + 2] = -mu
+            lb[r + 0], ub[r + 0] = 0.0, INF
+            lb[r + 1], ub[r + 1] = -INF, 0.0
+            lb[r + 2], ub[r + 2] = 0.0, INF
+            lb[r + 3], ub[r + 3] = -INF, 0.0
+
+            rb = n_dyn + n_fr + NUM_LEG * k + l
+            Ac[rb, cx + 2] = 1.0
+            lb[rb] = 0.0
+            ub[rb] = contact[k, l] * fz_max
+
+    return Hs, g, Ac, lb, ub
