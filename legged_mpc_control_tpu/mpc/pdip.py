@@ -201,10 +201,13 @@ def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
 
 
 def _block_diag_add(blocks, n, dtype):
-    """Assemble (H,4,3,3) blocks into an (n, n) block-diagonal matrix."""
+    """Assemble (H,4,3,3) blocks into an (n, n) block-diagonal matrix.
+
+    Scatter-free: embed[b3k+i, 3m+j] = blocks[k,i,j] * I[k,m] via a
+    broadcast multiply with a static identity — XLA fuses this into the
+    consumer add, where a gather/scatter formulation serializes on TPU."""
     nb = n // 3
     b = blocks.reshape(nb, 3, 3)
-    out = jnp.zeros((nb, 3, nb, 3), dtype=dtype)
-    idx = jnp.arange(nb)
-    out = out.at[idx, :, idx, :].set(b)
+    eye = jnp.eye(nb, dtype=dtype)
+    out = b[:, :, None, :] * eye[:, None, :, None]     # (nb,3,nb,3)
     return out.reshape(n, n)
