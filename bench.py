@@ -6,32 +6,50 @@ Prints ONE JSON line:
 Baseline (BASELINE.md): >= 10,000 solves/s/chip. The reference's implied
 budget is one OSQP solve per 10 ms tick = 100 solves/s on a desktop CPU
 (reference: LeggedParams.h:7).
+
+Measurement hygiene: inputs are cycled across timed repetitions — repeated
+execution with bit-identical inputs can be served from result caches in
+tunneled TPU setups and report fake speedups.
 """
 
 import json
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
 
 import jax
 import jax.numpy as jnp
 
 
 def main():
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        try:
+            jax.config.update("jax_compilation_cache_dir",
+                              os.environ["JAX_COMPILATION_CACHE_DIR"])
+        except Exception:
+            pass
+
     import __graft_entry__ as ge
 
     dtype = jnp.float32
     horizon = 10
     batch = 4096
+    backend = ("pallas" if jax.default_backend() not in ("cpu",)
+               else "xla")
     params, x0, contact = ge._make_problem_batch(batch, horizon, dtype)
-    fn = jax.jit(ge._solve_batch_fn(params, horizon, iters=15))
+    fn = jax.jit(ge._solve_batch_fn(params, horizon, iters=15,
+                                    backend=backend))
 
-    out = fn(x0, contact)
+    # distinct input variants so no repetition sees identical inputs
+    variants = [(x0 + 1e-3 * k, contact) for k in range(4)]
+    out = fn(*variants[0])
     out.block_until_ready()        # compile + warm up
 
-    # timed runs
-    n_rep = 10
+    n_rep = 8
     t0 = time.perf_counter()
-    for _ in range(n_rep):
-        out = fn(x0, contact)
+    for i in range(n_rep):
+        out = fn(*variants[i % len(variants)])
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / n_rep
 

@@ -1,0 +1,143 @@
+"""Contact-implicit MPC seam: the pluggable-policy MPC backend.
+
+The reference hosts a second MPC backend — contact-implicit MPC evaluated by
+an embedded Julia runtime (reference: src/mpc_ctrl/ci_mpc/LciMpc.cpp). The
+Julia engine itself is an external submodule (empty in the reference
+snapshot, .gitmodules:1-8); what the framework must provide is the *seam*:
+
+  * the `LeggedMPC::update` contract — consume the controller state, write
+    `optimized_state` (18,) and `optimized_input` (24,)
+    (reference: LciMpc.cpp:131-149);
+  * the policy input packing x in R^40 =
+    [pos(3), rpy(3), foot_pos_abs(12) | v(3), omega(3), foot_vel_abs(12) |
+     foot_force(4)]  (reference: LciMpc.cpp:62-92);
+  * per-mode policy selection (stand / walk, reference: LciMpc.cpp:95-104);
+  * 2-tap averaging filters on foot pos/vel (reference: LciMpc.cpp:37-40,
+    79-88).
+
+A policy is any jittable `(x40, t) -> (78,)` function returning
+[u(12); state_des(18); vel_des(18); state_ref(18); vel_ref(12)] — matching
+the Julia side's `exec_policy` output unpacking (reference:
+LciMpc.cpp:118-139). A neural policy (flax module), a learned distillation
+of the convex MPC, or a host-callback into an external solver all fit this
+slot. `StandPolicy` provides a built-in PD hover policy so the seam is
+usable out of the box.
+"""
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from legged_mpc_control_tpu.config import RobotParams
+from legged_mpc_control_tpu.types import ControllerState
+
+PolicyFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+X_DIM = 40
+OUT_DIM = 78
+
+
+@struct.dataclass
+class LciState:
+    """Filter + clock state (reference: LciMpc.cpp:37-59)."""
+    prev_foot_pos: Any        # (4,3) previous tick foot pos (2-tap filter)
+    prev_foot_vel: Any        # (4,3)
+    policy_time: Any          # time since mode switch
+    prev_mode: Any            # int32
+
+
+def lci_init(dtype=jnp.float32) -> LciState:
+    return LciState(
+        prev_foot_pos=jnp.zeros((4, 3), dtype=dtype),
+        prev_foot_vel=jnp.zeros((4, 3), dtype=dtype),
+        policy_time=jnp.zeros((), dtype=dtype),
+        prev_mode=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def pack_policy_state(fbk, lci: LciState):
+    """Assemble x in R^40 with the reference's 2-tap foot filtering.
+
+    reference: LciMpc.cpp:62-92. Returns (x40, new LciState fields)."""
+    foot_pos_f = 0.5 * (fbk.foot_pos_abs + lci.prev_foot_pos)
+    foot_vel_f = 0.5 * (fbk.foot_vel_abs + lci.prev_foot_vel)
+    x = jnp.concatenate([
+        fbk.root_pos, fbk.root_euler, foot_pos_f.reshape(-1),
+        fbk.root_lin_vel, fbk.root_ang_vel, foot_vel_f.reshape(-1),
+        fbk.foot_force_sensor,
+    ])
+    return x, foot_pos_f, foot_vel_f
+
+
+def lci_mpc_tick(state: ControllerState, lci: LciState,
+                 stand_policy: PolicyFn, walk_policy: PolicyFn,
+                 t, dt):
+    """One LCI-MPC update (reference: LciMpc.cpp:45-153).
+
+    Returns (new ControllerState, new LciState)."""
+    fbk, ctrl = state.fbk, state.ctrl
+    mode = ctrl.movement_mode
+
+    # mode change resets the policy clock (reference: :46-59)
+    changed = mode != lci.prev_mode
+    policy_time = jnp.where(changed, 0.0, lci.policy_time + dt)
+
+    x, fp, fv = pack_policy_state(fbk, lci)
+
+    out_stand = stand_policy(x, policy_time)
+    out_walk = walk_policy(x, policy_time)
+    out = jnp.where(mode == 0, out_stand, out_walk)
+
+    u = out[0:12]
+    state_des = out[12:30]
+    vel_des = out[30:48]
+    # euler order flip: the policy returns [pos, euler...]; optimized_state
+    # wants [pos(3), euler(3), foot(12)] (reference: :131-139)
+    optimized_state = jnp.concatenate([
+        state_des[0:3], state_des[3:6], state_des[6:18]])
+    optimized_input = jnp.concatenate([u, vel_des[6:18]])
+
+    # plan contacts from measured flags (reference: :143-149)
+    plan_contacts = fbk.foot_contact_flag
+
+    new_ctrl = ctrl.replace(
+        optimized_state=optimized_state,
+        optimized_input=optimized_input,
+        plan_contacts=plan_contacts.astype(ctrl.plan_contacts.dtype),
+    )
+    new_lci = LciState(prev_foot_pos=fbk.foot_pos_abs,
+                       prev_foot_vel=fbk.foot_vel_abs,
+                       policy_time=policy_time,
+                       prev_mode=mode)
+    return state.replace(ctrl=new_ctrl,
+                         mpc_inited=jnp.ones((), dtype=bool)), new_lci
+
+
+def make_stand_policy(params: RobotParams, body_height=0.3,
+                      kp=jnp.asarray([120.0, 120.0, 200.0]),
+                      kd=jnp.asarray([20.0, 20.0, 30.0])) -> PolicyFn:
+    """Built-in hover policy for the stand slot: world-frame PD on the body
+    mapped to per-foot forces (equal weight distribution), holding the
+    default stance. Gives the LCI seam a working default without the
+    external engine."""
+
+    def policy(x, t):
+        dtype = x.dtype
+        pos, euler = x[0:3], x[3:6]
+        foot_pos = x[6:18].reshape(4, 3)
+        v = x[18:21]
+        pos_des = jnp.array([pos[0], pos[1], body_height], dtype)
+        f_body = (kp.astype(dtype) * (pos_des - pos)
+                  - kd.astype(dtype) * v
+                  + jnp.array([0., 0., 9.8], dtype) * params.mass)
+        u = jnp.tile(f_body / 4.0, 4)
+        state_des = jnp.concatenate([
+            pos_des, jnp.zeros(3, dtype),
+            (foot_pos + pos[None, :]).reshape(-1)])
+        vel_des = jnp.zeros(18, dtype)
+        state_ref = state_des
+        vel_ref = jnp.zeros(12, dtype)
+        return jnp.concatenate([u, state_des, vel_des, state_ref, vel_ref])
+
+    return policy

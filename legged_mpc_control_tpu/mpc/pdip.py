@@ -39,37 +39,40 @@ class PdipResult(NamedTuple):
     iters: jnp.ndarray        # iterations actually used (<= max_iter)
 
 
+def _g_local(mu, dtype):
+    """The per-leg constraint matrix G_loc (6,3): rows are the 4 friction
+    pyramid faces, fz cap, and -fz. (Expressed as a dense constant so G, G^T
+    and G^T D G all lower to einsums — elementwise stack/slice formulations
+    of these tiny operators poison XLA's TPU layout assignment for the whole
+    program, dragging the adjacent batched Cholesky into a ~500x slower
+    batch-minor layout.)"""
+    return jnp.array([
+        [-1.0, 0.0, -mu],
+        [1.0, 0.0, -mu],
+        [0.0, -1.0, -mu],
+        [0.0, 1.0, -mu],
+        [0.0, 0.0, 1.0],
+        [0.0, 0.0, -1.0],
+    ], dtype=dtype)
+
+
 def _g_apply(u_legs, mu):
-    """G @ u. u_legs: (H, 4, 3) -> (H, 4, 6)."""
-    fx, fy, fz = u_legs[..., 0], u_legs[..., 1], u_legs[..., 2]
-    mufz = mu * fz
-    return jnp.stack(
-        [-fx - mufz, fx - mufz, -fy - mufz, fy - mufz, fz, -fz], axis=-1)
+    """G @ u. u_legs: (..., H, 4, 3) -> (..., H, 4, 6)."""
+    G = _g_local(mu, u_legs.dtype)
+    return jnp.einsum("...i,ri->...r", u_legs, G)
 
 
 def _gt_apply(w, mu):
-    """G^T @ w. w: (H, 4, 6) -> (H, 4, 3)."""
-    w1, w2, w3, w4, w5, w6 = (w[..., i] for i in range(6))
-    return jnp.stack([
-        -w1 + w2,
-        -w3 + w4,
-        -mu * (w1 + w2 + w3 + w4) + w5 - w6,
-    ], axis=-1)
+    """G^T @ w. w: (..., H, 4, 6) -> (..., H, 4, 3)."""
+    G = _g_local(mu, w.dtype)
+    return jnp.einsum("...r,ri->...i", w, G)
 
 
 def _gtdg_blocks(d, mu):
-    """3x3 blocks of G^T diag(d) G per (step, leg). d: (H, 4, 6) -> (H,4,3,3)."""
-    d1, d2, d3, d4, d5, d6 = (d[..., i] for i in range(6))
-    a = d1 + d2
-    b = d3 + d4
-    c = mu * (d1 - d2)
-    e = mu * (d3 - d4)
-    f = mu * mu * (d1 + d2 + d3 + d4) + d5 + d6
-    zero = jnp.zeros_like(a)
-    row0 = jnp.stack([a, zero, c], axis=-1)
-    row1 = jnp.stack([zero, b, e], axis=-1)
-    row2 = jnp.stack([c, e, f], axis=-1)
-    return jnp.stack([row0, row1, row2], axis=-2)
+    """3x3 blocks of G^T diag(d) G per (step, leg).
+    d: (..., H, 4, 6) -> (..., H, 4, 3, 3)."""
+    G = _g_local(mu, d.dtype)
+    return jnp.einsum("...r,ri,rj->...ij", d, G, G)
 
 
 def _h_vec(H, fz_max, dtype):
@@ -198,6 +201,117 @@ def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
     r_dual = jnp.max(jnp.abs(P @ u + q + GTdot(lam)))
     return PdipResult(u=u, gap=gap, r_dual=r_dual,
                       iters=jnp.asarray(iters))
+
+
+def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
+                          backend="pallas"):
+    """Explicitly-batched PDIP: P (B,n,n), q (B,n), contact (B,H,4).
+
+    Same algorithm as `solve_qp_pdip` but with the scenario batch as a real
+    axis so the Newton factorization can run in the Pallas batch-in-lanes
+    Cholesky kernels (ops/chol_pallas.py) — XLA's library Cholesky /
+    triangular-solve custom calls run this batched-small regime ~30x slower.
+    backend="xla" falls back to jnp.linalg (useful on CPU).
+
+    Returns PdipResult with batched fields.
+    """
+    from legged_mpc_control_tpu.ops import chol_pallas
+
+    B, n = q.shape
+    H = n // 12
+    dtype = P.dtype
+    m = H * 4 * N_CON_PER_LEG
+    if tol is None:
+        tol = 1e-11 if dtype == jnp.float64 else 1e-7
+    d_max = 1e14 if dtype == jnp.float64 else 1e8
+    eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
+
+    h = _h_vec(H, fz_max, dtype)[None]                     # (1,H,4,6)
+
+    def Gdot(u):
+        return _g_apply(u.reshape(B, H, 4, 3), mu)
+
+    def GTdot(w):
+        return _gt_apply(w, mu).reshape(B, n)
+
+    u = jnp.zeros((B, n), dtype=dtype)
+    s = jnp.broadcast_to(jnp.maximum(h - Gdot(u), 1.0), (B, H, 4, 6))
+    lam = jnp.ones_like(s)
+
+    def body(carry, _):
+        u, s, lam, done = carry
+        r_dual = jnp.einsum("bij,bj->bi", P, u) + q + GTdot(lam)
+        r_prim = Gdot(u) + s - h
+        mu_gap = jnp.sum(s * lam, axis=(1, 2, 3)) / m       # (B,)
+
+        d = jnp.clip(lam / jnp.maximum(s, eps), 0.0, d_max)
+        blocks = _gtdg_blocks(d, mu)                        # (B,H,4,3,3)
+        K = (P + jax.vmap(lambda bb: _block_diag_add(bb, n, dtype))(blocks)
+             + jnp.eye(n, dtype=dtype)
+             * (1e-11 if dtype == jnp.float64 else 1e-7))
+
+        if backend == "pallas":
+            Lt = chol_pallas.cholesky_lanes(K.transpose(1, 2, 0))
+
+            def newton_solve(rhs):                          # rhs (B,n)
+                return chol_pallas.cho_solve_lanes(Lt, rhs.T).T
+        else:
+            L = jnp.linalg.cholesky(K)
+
+            def newton_solve(rhs):
+                x = solve_triangular(L, rhs[..., None], lower=True)
+                return solve_triangular(jnp.swapaxes(L, -1, -2), x,
+                                        lower=False)[..., 0]
+
+        def solve_dir(rc):
+            w = (lam * r_prim - rc) / jnp.maximum(s, eps)
+            du = newton_solve(-(r_dual + GTdot(w)))
+            ds = -(r_prim + Gdot(u + du) - Gdot(u))
+            dlam = -(rc + lam * ds) / jnp.maximum(s, eps)
+            return du, ds, dlam
+
+        du_a, ds_a, dl_a = solve_dir(lam * s)
+
+        def max_step(v, dv):
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0),
+                              jnp.inf)
+            return jnp.minimum(1.0, jnp.min(ratio.reshape(B, -1), axis=-1))
+
+        def bc(x):                                          # (B,) -> bcast
+            return x[:, None, None, None]
+
+        a_p = max_step(s, ds_a)
+        a_d = max_step(lam, dl_a)
+        mu_aff = jnp.sum((s + bc(a_p) * ds_a) * (lam + bc(a_d) * dl_a),
+                         axis=(1, 2, 3)) / m
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu_gap, eps)) ** 3,
+                         1e-4, 0.9)
+        corr = jnp.clip(ds_a * dl_a, -10.0 * bc(mu_gap), 10.0 * bc(mu_gap))
+        rc = lam * s + corr - bc(sigma) * bc(mu_gap)
+        du, ds, dlam = solve_dir(rc)
+
+        a_p = 0.99 * max_step(s, ds)
+        a_d = 0.99 * max_step(lam, dlam)
+
+        conv = (mu_gap < tol) & (
+            jnp.max(jnp.abs(r_prim.reshape(B, -1)), axis=-1) < 1e3 * tol)
+        done = done | conv
+        dn = done[:, None]
+        dn4 = bc(done.astype(dtype)) > 0.5
+        u2 = jnp.where(dn, u, u + a_p[:, None] * du)
+        s2 = jnp.where(dn4, s, s + bc(a_p) * ds)
+        lam2 = jnp.where(dn4, lam, lam + bc(a_d) * dlam)
+        return (u2, s2, lam2, done), None
+
+    done0 = jnp.zeros((B,), dtype=bool)
+    (u, s, lam, done), _ = jax.lax.scan(
+        body, (u, s, lam, done0), None, length=iters)
+
+    u = u * jnp.repeat(contact.reshape(B, H, 4), 3, axis=-1).reshape(B, n)
+    gap = jnp.sum(s * lam, axis=(1, 2, 3)) / m
+    r_dual = jnp.max(jnp.abs(
+        jnp.einsum("bij,bj->bi", P, u) + q + GTdot(lam)), axis=-1)
+    return PdipResult(u=u, gap=gap, r_dual=r_dual, iters=jnp.asarray(iters))
 
 
 def _block_diag_add(blocks, n, dtype):
