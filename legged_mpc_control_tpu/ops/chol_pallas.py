@@ -30,12 +30,21 @@ NB = 8          # panel width (sublane granularity)
 LANES = 128     # batch tile width
 
 
-def _chol_kernel(K_ref, L_ref):
-    n = K_ref.shape[0]
+def _chol_kernel(K_hbm, L_hbm, L_ref, sem_in, sem_out):
+    # K/L stay in HBM; one (n, n, LANES) VMEM scratch holds the active tile.
+    # Automatic pipelining would double-buffer input AND output tiles
+    # (4 x 7 MB at n=120 > the 16 MB scoped-VMEM budget on v5e); the
+    # factorization is compute-bound, so serial DMA costs ~nothing.
+    b = pl.program_id(0)
+    n = L_ref.shape[0]
+    lanes = L_ref.shape[-1]
     npan = n // NB
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
 
-    L_ref[...] = K_ref[...]
+    cp_in = pltpu.make_async_copy(
+        K_hbm.at[:, :, pl.ds(b * lanes, lanes)], L_ref, sem_in)
+    cp_in.start()
+    cp_in.wait()
 
     def panel(p, _):
         base = p * NB
@@ -85,10 +94,24 @@ def _chol_kernel(K_ref, L_ref):
 
     jax.lax.fori_loop(0, npan, panel, 0)
 
+    cp_out = pltpu.make_async_copy(
+        L_ref, L_hbm.at[:, :, pl.ds(b * lanes, lanes)], sem_out)
+    cp_out.start()
+    cp_out.wait()
 
-def _solve_kernel(L_ref, rhs_ref, x_ref):
-    """Solve L L^T x = rhs for one batch tile. rhs/x: (n, B)."""
+
+def _solve_kernel(L_hbm, rhs_ref, x_ref, L_ref, sem_in):
+    """Solve L L^T x = rhs for one batch tile. rhs/x: (n, B).
+
+    L stays in HBM and is DMA'd into a single VMEM scratch — pipelined
+    double-buffering of the 7 MB L tile would breach the scoped-VMEM limit."""
+    b = pl.program_id(0)
     n = L_ref.shape[0]
+    lanes = L_ref.shape[-1]
+    cp_in = pltpu.make_async_copy(
+        L_hbm.at[:, :, pl.ds(b * lanes, lanes)], L_ref, sem_in)
+    cp_in.start()
+    cp_in.wait()
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     x_ref[...] = rhs_ref[...]
 
@@ -138,14 +161,13 @@ def cholesky_lanes(Kt, interpret=False):
         _chol_kernel,
         out_shape=jax.ShapeDtypeStruct((n, n, B), Kt.dtype),
         grid=(B // LANES,),
-        in_specs=[pl.BlockSpec((n, n, LANES), lambda b: (0, 0, b),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n, n, LANES), lambda b: (0, 0, b),
-                               memory_space=pltpu.VMEM),
-        # in-place: the (n, n, LANES) tile is ~7.4 MB at n=120; separate
-        # in/out buffers with pipeline double-buffering blow the ~16 MB
-        # VMEM budget
-        input_output_aliases={0: 0},
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), Kt.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(Kt)
     return out[..., :b0]
@@ -164,14 +186,16 @@ def cho_solve_lanes(Lt, rhs_t, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n, B), rhs_t.dtype),
         grid=(B // LANES,),
         in_specs=[
-            pl.BlockSpec((n, n, LANES), lambda b: (0, 0, b),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((n, LANES), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((n, LANES), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
-        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), Lt.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         interpret=interpret,
     )(Lt, rhs_t)
     return out[..., :b0]
