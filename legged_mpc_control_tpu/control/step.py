@@ -22,7 +22,7 @@ from flax import struct
 from legged_mpc_control_tpu import constants as C
 from legged_mpc_control_tpu.config import RobotParams
 from legged_mpc_control_tpu.control import low_level, raibert, safety, sensors
-from legged_mpc_control_tpu.estimation import basic_kf
+from legged_mpc_control_tpu.estimation import basic_kf, ekf as ekf_mod
 from legged_mpc_control_tpu.mpc import convex_mpc, gait as gait_mod
 from legged_mpc_control_tpu.ops import filters
 from legged_mpc_control_tpu.sim import srb_sim
@@ -56,6 +56,10 @@ def controller_init(params: RobotParams, dtype=jnp.float32,
             x=jnp.zeros(18, dtype=dtype),
             P=jnp.eye(18, dtype=dtype) * 3.0,
             initialized=jnp.zeros((), dtype=bool)),
+        ekf=ekf_mod.EkfState(
+            x=jnp.zeros(ekf_mod.STATE_SIZE, dtype=dtype),
+            P=jnp.eye(ekf_mod.STATE_SIZE, dtype=dtype),
+            initialized=jnp.zeros((), dtype=bool)),
         vel_filter_x=filters.moving_window_init(window, dtype=dtype),
         vel_filter_y=filters.moving_window_init(window, dtype=dtype),
         estimation_inited=jnp.zeros((), dtype=bool),
@@ -64,10 +68,20 @@ def controller_init(params: RobotParams, dtype=jnp.float32,
 
 
 def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
-                    dt, use_ground_truth: bool) -> ControllerState:
+                    dt, use_ground_truth: bool = True,
+                    kf_type: int = None) -> ControllerState:
     """Feedback-thread body: ingest raw sensors, run FK + contact detection +
     state estimation (reference: BaseInterface::fbk_update -> sensor_update ->
-    estimation_update, BaseInterface.cpp:212-449)."""
+    estimation_update, BaseInterface.cpp:212-449).
+
+    kf_type dispatch mirrors the reference (BaseInterface.cpp:404-449):
+    0 = ground-truth bypass (sim only), 1 = linear BasicKF, 2 = EKF with
+    attitude in the state (CasadiEKF surface). `use_ground_truth` is the
+    legacy boolean alias for kf_type 0 vs 1.
+    """
+    if kf_type is None:
+        kf_type = 0 if use_ground_truth else 1
+    use_ground_truth = kf_type == 0
     fbk = cs.fbk.replace(
         root_quat=sensors_raw["quat"],
         imu_acc=sensors_raw["imu_acc"],
@@ -87,8 +101,9 @@ def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
                                 joint_vel_tgt=cs.ctrl.joint_vel_tgt)
 
     kf = cs.kf
-    est_inited = cs.estimation_inited
-    if not use_ground_truth:
+    ekf = cs.ekf
+    est_inited = jnp.ones((), dtype=bool)
+    if kf_type == 1:
         # linear KF path, kf_type 1 (reference: BaseInterface.cpp:407-413)
         kf_fresh = basic_kf.kf_init(fbk.root_rot_mat, fbk.foot_pos_rel,
                                     dtype=fbk.root_pos.dtype)
@@ -106,9 +121,36 @@ def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
             root_lin_vel=jnp.where(first, fbk.root_lin_vel, vel_est),
             estimated_contacts=contacts,
         )
-        est_inited = jnp.ones((), dtype=bool)
-    else:
-        est_inited = jnp.ones((), dtype=bool)
+    elif kf_type == 2:
+        # EKF path, kf_type 2 (reference: BaseInterface.cpp:414-446) —
+        # attitude is estimated too, so root_euler/quat come from the filter
+        from legged_mpc_control_tpu.ops import so3 as _so3
+
+        ekf_fresh = ekf_mod.ekf_init(fbk.root_quat, fbk.root_pos,
+                                     fbk.foot_pos_rel,
+                                     dtype=fbk.root_pos.dtype)
+        contacts = jnp.where(cs.ctrl.movement_mode == 0,
+                             jnp.ones(4, dtype=fbk.root_pos.dtype),
+                             fbk.foot_contact_flag)
+        ekf_stepped, pos_est, vel_est, eul_est = ekf_mod.ekf_update(
+            ekf, dt, fbk.imu_acc, fbk.imu_ang_vel,
+            fbk.foot_pos_rel, fbk.foot_vel_rel, contacts)
+        first = ~ekf.initialized
+        ekf = jax.tree.map(
+            lambda a, b: jnp.where(first, a, b), ekf_fresh, ekf_stepped)
+        fbk = fbk.replace(
+            root_pos=jnp.where(first, fbk.root_pos, pos_est),
+            root_lin_vel=jnp.where(first, fbk.root_lin_vel, vel_est),
+            estimated_contacts=contacts,
+        )
+        # overwrite orientation products from the filtered euler
+        # (reference: BaseInterface.cpp:439-446)
+        eul = jnp.where(first, fbk.root_euler, eul_est)
+        quat = _so3.euler_to_quat(eul)
+        R = _so3.quat_to_rotmat(quat)
+        fbk = fbk.replace(root_euler=eul, root_quat=quat, root_rot_mat=R,
+                          root_rot_mat_z=_so3.rot_z(eul[2]),
+                          root_ang_vel=R @ fbk.imu_ang_vel)
 
     # Raibert foothold targets (reference: BaseInterface.cpp:358-399)
     target_abs, target_world = raibert.raibert_footholds(
@@ -116,7 +158,7 @@ def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
         cs.ctrl.root_lin_vel_d_rel, params)
     ctrl = cs.ctrl.replace(foot_pos_target_abs=target_abs,
                            foot_pos_target_world=target_world)
-    return cs.replace(fbk=fbk, ctrl=ctrl, kf=kf,
+    return cs.replace(fbk=fbk, ctrl=ctrl, kf=kf, ekf=ekf,
                       estimation_inited=est_inited)
 
 
@@ -142,24 +184,27 @@ def _sim_sensors(sim: srb_sim.SimState, params: RobotParams, grf_est):
 
 
 @partial(jax.jit, static_argnames=("horizon", "substeps", "use_ground_truth",
-                                   "pdip_iters"))
+                                   "pdip_iters", "kf_type"))
 def closed_loop_tick(loop: LoopState, params: RobotParams,
                      pattern: gait_mod.GaitPattern, *,
                      horizon: int = 10,
                      substeps: int = C.SUBSTEPS_PER_MPC_TICK,
                      use_ground_truth: bool = True,
+                     kf_type: int = None,
                      pdip_iters: int = 15) -> LoopState:
     """One full MPC period of closed-loop sim: mpc tick + `substeps`
     low-level/sim steps."""
     dt_mpc = C.MPC_DT
     dt_ll = dt_mpc / substeps
+    if kf_type is None:
+        kf_type = 0 if use_ground_truth else 1
 
     cs = loop.controller
     # feedback once before MPC so the first tick sees valid sensors
     grf_normal = jnp.where(loop.sim.contact,
                            _anchored_normal_force(loop, params), 0.0)
     cs = feedback_update(cs, _sim_sensors(loop.sim, params, grf_normal),
-                         params, dt_ll, use_ground_truth)
+                         params, dt_ll, kf_type=kf_type)
     cs = convex_mpc.mpc_tick(cs, params, pattern, dt_mpc,
                              horizon=horizon, pdip_iters=pdip_iters)
 
@@ -172,7 +217,7 @@ def closed_loop_tick(loop: LoopState, params: RobotParams,
                               LoopState(controller=cs, sim=sim), params),
                           0.0)
         cs = feedback_update(cs, _sim_sensors(sim, params, grf_n), params,
-                             dt_ll, use_ground_truth)
+                             dt_ll, kf_type=kf_type)
         return (cs, sim), None
 
     (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,

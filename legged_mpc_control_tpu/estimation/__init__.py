@@ -1,1 +1,1 @@
-from legged_mpc_control_tpu.estimation import basic_kf
+from legged_mpc_control_tpu.estimation import basic_kf, ekf

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from legged_mpc_control_tpu.estimation.basic_kf import KfState
+from legged_mpc_control_tpu.estimation.ekf import EkfState
 from legged_mpc_control_tpu.mpc.gait import GaitLegState
 from legged_mpc_control_tpu.ops.filters import MovingWindowState
 
@@ -87,6 +88,7 @@ class ControllerState:
     joy: JoyCmd
     gait: GaitLegState        # leaves have leading leg axis (4, ...)
     kf: KfState
+    ekf: EkfState
     vel_filter_x: MovingWindowState
     vel_filter_y: MovingWindowState
     estimation_inited: Any    # bool
