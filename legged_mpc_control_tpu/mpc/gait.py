@@ -85,6 +85,72 @@ def stand_pattern(dtype=jnp.float32) -> GaitPattern:
     return _pattern([[(STANCE, 1.0)]] * 4, dtype)
 
 
+def flying_trot_pattern(dtype=jnp.float32) -> GaitPattern:
+    """Diagonal pairs with full-flight phases between them (named mode in
+    the reference's OCS2 gait library, config/gait.info)."""
+    diag_a = [(STANCE, 0.4), (SWING, 1.0)]
+    diag_b = [(SWING, 0.6), (STANCE, 1.0)]
+    return _pattern([diag_a, diag_b, diag_b, diag_a], dtype)
+
+
+def pace_pattern(dtype=jnp.float32) -> GaitPattern:
+    """Lateral pairs alternate (gait.info `pace`): left legs FL,RL stance
+    first, right legs FR,RR swing first."""
+    left = [(STANCE, 0.5), (SWING, 1.0)]
+    right = [(SWING, 0.5), (STANCE, 1.0)]
+    return _pattern([left, right, left, right], dtype)
+
+
+def standing_pace_pattern(dtype=jnp.float32) -> GaitPattern:
+    """Pace with an all-stance dwell (gait.info `standing_pace`)."""
+    left = [(STANCE, 0.6), (SWING, 1.0)]
+    right = [(STANCE, 0.1), (SWING, 0.5), (STANCE, 1.0)]
+    return _pattern([left, right, left, right], dtype)
+
+
+def bound_pattern(dtype=jnp.float32) -> GaitPattern:
+    """Front pair / rear pair alternate."""
+    front = [(STANCE, 0.5), (SWING, 1.0)]
+    rear = [(SWING, 0.5), (STANCE, 1.0)]
+    return _pattern([front, front, rear, rear], dtype)
+
+
+def pronk_pattern(dtype=jnp.float32) -> GaitPattern:
+    """All four legs hop together."""
+    leg = [(STANCE, 0.6), (SWING, 1.0)]
+    return _pattern([leg] * 4, dtype)
+
+
+# Named gait registry — the analogue of the reference's gait library
+# (reference: config/gait.info:1-14 lists stance, trot, standing_trot,
+# flying_trot, pace, standing_pace, static_walk, dynamic_walk, ...).
+# `crawl` is the FSM's own 4-beat walk (LeggedContactFSM.cpp:158-199).
+NAMED_PATTERNS = {
+    "stance": stand_pattern,
+    "stand": stand_pattern,
+    "trot": trot_pattern,
+    "standing_trot": trot_with_stand_pattern,
+    "trot_with_stand": trot_with_stand_pattern,
+    "flying_trot": flying_trot_pattern,
+    "pace": pace_pattern,
+    "standing_pace": standing_pace_pattern,
+    "crawl": crawl_pattern,
+    "static_walk": crawl_pattern,
+    "dynamic_walk": crawl_pattern,
+    "bound": bound_pattern,
+    "pronk": pronk_pattern,
+}
+
+
+def named_pattern(name: str, dtype=jnp.float32) -> GaitPattern:
+    """Look up a gait by name (config tier 3 equivalent, gait.info)."""
+    try:
+        return NAMED_PATTERNS[name](dtype)
+    except KeyError:
+        raise ValueError(
+            f"unknown gait '{name}'; known: {sorted(NAMED_PATTERNS)}")
+
+
 @struct.dataclass
 class GaitLegState:
     """Functional state of one leg's contact FSM (vmap over legs).

@@ -78,6 +78,8 @@ class JoyCmd:
     yaw_rate: Any
     body_height: Any
     ctrl_state: Any           # int32: 0 stand, 1 walk
+    prev_mode_button: Any     # bool: last mode-button state (edge detect)
+    exit_flag: Any            # bool: operator requested shutdown
 
 
 @struct.dataclass
@@ -140,4 +142,6 @@ def init_joy(dtype=jnp.float32, body_height=0.3) -> JoyCmd:
         yaw_rate=_z((), dtype),
         body_height=jnp.asarray(body_height, dtype=dtype),
         ctrl_state=jnp.zeros((), dtype=jnp.int32),
+        prev_mode_button=jnp.zeros((), dtype=bool),
+        exit_flag=jnp.zeros((), dtype=bool),
     )
