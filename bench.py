@@ -34,7 +34,7 @@ def main():
 
     dtype = jnp.float32
     horizon = 10
-    batch = 4096
+    batch = 16384
     backend = ("pallas" if jax.default_backend() not in ("cpu",)
                else "xla")
     params, x0, contact = ge._make_problem_batch(batch, horizon, dtype)
@@ -45,6 +45,12 @@ def main():
     variants = [(x0 + 1e-3 * k, contact) for k in range(4)]
     out = fn(*variants[0])
     out.block_until_ready()        # compile + warm up
+    # solution sanity: all finite, stance legs carry weight. A solver that
+    # emits NaNs must never win the benchmark.
+    assert bool(jnp.all(jnp.isfinite(out))), "non-finite GRFs"
+    mean_fz = float(jnp.mean(jnp.sum(out[:, 2:12:3], axis=-1)))
+    assert 0.3 * 9.8 * float(params.mass) < mean_fz < 2.0 * 9.8 * float(
+        params.mass), f"implausible stance load {mean_fz}"
 
     n_rep = 8
     t0 = time.perf_counter()

@@ -29,6 +29,12 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+# full-f32 contractions: the TPU's default bf16 matmul passes inject ~1e-3
+# relative error into the Newton residuals, which exceeds the QP's
+# R-regularization scale (see qp_builder.py)
+from functools import partial as _partial
+_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 N_CON_PER_LEG = 6
 
 
@@ -59,20 +65,20 @@ def _g_local(mu, dtype):
 def _g_apply(u_legs, mu):
     """G @ u. u_legs: (..., H, 4, 3) -> (..., H, 4, 6)."""
     G = _g_local(mu, u_legs.dtype)
-    return jnp.einsum("...i,ri->...r", u_legs, G)
+    return _einsum("...i,ri->...r", u_legs, G)
 
 
 def _gt_apply(w, mu):
     """G^T @ w. w: (..., H, 4, 6) -> (..., H, 4, 3)."""
     G = _g_local(mu, w.dtype)
-    return jnp.einsum("...r,ri->...i", w, G)
+    return _einsum("...r,ri->...i", w, G)
 
 
 def _gtdg_blocks(d, mu):
     """3x3 blocks of G^T diag(d) G per (step, leg).
     d: (..., H, 4, 6) -> (..., H, 4, 3, 3)."""
     G = _g_local(mu, d.dtype)
-    return jnp.einsum("...r,ri,rj->...ij", d, G, G)
+    return _einsum("...r,ri,rj->...ij", d, G, G)
 
 
 def _h_vec(H, fz_max, dtype):
@@ -93,7 +99,7 @@ def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
       iters: fixed Mehrotra iteration count (static; converged elements
              freeze, so a generous count is safe).
       tol: complementarity-gap freeze threshold. Defaults to 1e-11 in f64 /
-           1e-7 in f32. Once an element's gap, dual and primal residuals all
+           1e-6 in f32. Once an element's gap, dual and primal residuals all
            drop below tol its iterates freeze — this both saves the central
            path from post-convergence blow-up (lambda/s -> inf) and keeps
            the whole solve branchless.
@@ -105,10 +111,13 @@ def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
     dtype = P.dtype
     m = H * 4 * N_CON_PER_LEG
     if tol is None:
-        tol = 1e-11 if dtype == jnp.float64 else 1e-7
+        tol = 1e-11 if dtype == jnp.float64 else 1e-6
     # cap on the IP scaling d = lambda/s: bounds cond(K) so the Cholesky
-    # stays finite even if an element runs past its freeze point
-    d_max = 1e14 if dtype == jnp.float64 else 1e8
+    # stays finite even if an element runs past its freeze point. In f32
+    # the Newton system must stay well inside eps^-1 ~ 1e7 or the
+    # factorization produces non-finite pivots.
+    d_max = 1e14 if dtype == jnp.float64 else 1e6
+    reg = 1e-11 if dtype == jnp.float64 else 1e-6
 
     h = _h_vec(H, fz_max, dtype)
 
@@ -132,15 +141,14 @@ def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
     def body(carry, _):
         u, s, lam, done = carry
 
-        r_dual = P @ u + q + GTdot(lam)                  # (n,)
+        r_dual = _einsum("ij,j->i", P, u) + q + GTdot(lam)
         r_prim = Gdot(u) + s - h                         # (H,4,6)
         mu_gap = jnp.sum(s * lam) / m
 
         d = jnp.clip(lam / jnp.maximum(s, eps), 0.0, d_max)   # (H,4,6)
         K = P + _block_diag_add(_gtdg_blocks(d, mu), n, dtype)
         # regularize for factorization robustness
-        K = K + jnp.eye(n, dtype=dtype) * (1e-11 if dtype == jnp.float64
-                                           else 1e-7)
+        K = K + jnp.eye(n, dtype=dtype) * reg
         L = jnp.linalg.cholesky(K)
 
         def solve_dir(rc):
@@ -180,7 +188,11 @@ def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
         # element may carry NaN directions from an exhausted central path,
         # and 0 * NaN = NaN)
         conv = (mu_gap < tol) & (jnp.max(jnp.abs(r_prim)) < 1e3 * tol)
-        done = done | conv
+        # non-finite directions (f32 central-path exhaustion past the
+        # freeze threshold): keep the last good iterate
+        bad = ~(jnp.all(jnp.isfinite(du)) & jnp.all(jnp.isfinite(ds))
+                & jnp.all(jnp.isfinite(dlam)))
+        done = done | conv | bad
         u2 = jnp.where(done, u, u + a_p * du)
         s2 = jnp.where(done, s, s + a_p * ds)
         lam2 = jnp.where(done, lam, lam + a_d * dlam)
@@ -198,7 +210,7 @@ def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
         u = u * jnp.repeat(contact.reshape(H, 4), 3, axis=-1).reshape(n)
 
     gap = jnp.sum(s * lam) / m
-    r_dual = jnp.max(jnp.abs(P @ u + q + GTdot(lam)))
+    r_dual = jnp.max(jnp.abs(_einsum("ij,j->i", P, u) + q + GTdot(lam)))
     return PdipResult(u=u, gap=gap, r_dual=r_dual,
                       iters=jnp.asarray(iters))
 
@@ -222,8 +234,9 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
     dtype = P.dtype
     m = H * 4 * N_CON_PER_LEG
     if tol is None:
-        tol = 1e-11 if dtype == jnp.float64 else 1e-7
-    d_max = 1e14 if dtype == jnp.float64 else 1e8
+        tol = 1e-11 if dtype == jnp.float64 else 1e-6
+    d_max = 1e14 if dtype == jnp.float64 else 1e6
+    reg = 1e-11 if dtype == jnp.float64 else 1e-6
     eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
 
     h = _h_vec(H, fz_max, dtype)[None]                     # (1,H,4,6)
@@ -240,15 +253,14 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
 
     def body(carry, _):
         u, s, lam, done = carry
-        r_dual = jnp.einsum("bij,bj->bi", P, u) + q + GTdot(lam)
+        r_dual = _einsum("bij,bj->bi", P, u) + q + GTdot(lam)
         r_prim = Gdot(u) + s - h
         mu_gap = jnp.sum(s * lam, axis=(1, 2, 3)) / m       # (B,)
 
         d = jnp.clip(lam / jnp.maximum(s, eps), 0.0, d_max)
         blocks = _gtdg_blocks(d, mu)                        # (B,H,4,3,3)
         K = (P + jax.vmap(lambda bb: _block_diag_add(bb, n, dtype))(blocks)
-             + jnp.eye(n, dtype=dtype)
-             * (1e-11 if dtype == jnp.float64 else 1e-7))
+             + jnp.eye(n, dtype=dtype) * reg)
 
         if backend == "pallas":
             Lt = chol_pallas.cholesky_lanes(K.transpose(1, 2, 0))
@@ -295,7 +307,14 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
 
         conv = (mu_gap < tol) & (
             jnp.max(jnp.abs(r_prim.reshape(B, -1)), axis=-1) < 1e3 * tol)
-        done = done | conv
+        # per-element non-finite direction guard: freeze at the last good
+        # iterate instead of letting one exhausted central path poison the
+        # batch element (f32 Cholesky can emit non-finite pivots once
+        # d saturates)
+        bad = ~(jnp.all(jnp.isfinite(du), axis=-1)
+                & jnp.all(jnp.isfinite(ds.reshape(B, -1)), axis=-1)
+                & jnp.all(jnp.isfinite(dlam.reshape(B, -1)), axis=-1))
+        done = done | conv | bad
         dn = done[:, None]
         dn4 = bc(done.astype(dtype)) > 0.5
         u2 = jnp.where(dn, u, u + a_p[:, None] * du)
@@ -310,7 +329,7 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
     u = u * jnp.repeat(contact.reshape(B, H, 4), 3, axis=-1).reshape(B, n)
     gap = jnp.sum(s * lam, axis=(1, 2, 3)) / m
     r_dual = jnp.max(jnp.abs(
-        jnp.einsum("bij,bj->bi", P, u) + q + GTdot(lam)), axis=-1)
+        _einsum("bij,bj->bi", P, u) + q + GTdot(lam)), axis=-1)
     return PdipResult(u=u, gap=gap, r_dual=r_dual, iters=jnp.asarray(iters))
 
 

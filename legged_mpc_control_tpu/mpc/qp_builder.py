@@ -30,10 +30,19 @@ only the R-penalty, and solve to exactly 0 — avoiding the empty-interior box
 that would break an interior-point method.
 """
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+# TPU MXU f32 "matmuls" default to bfloat16 passes (~1e-3 relative error).
+# That error is larger than this QP's R-regularization eigenvalues
+# (r_weights ~ 1e-4), so a default-precision P = S^T Q S comes out
+# *indefinite* and downstream Cholesky factorizations fail. Every
+# P/q-forming contraction below runs at HIGHEST (full f32) precision —
+# these are (12H)^3 ~ 1.7 MFLOP GEMMs, bandwidth-bound either way.
+_einsum = partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
 
 from legged_mpc_control_tpu.constants import (
     DIM_GRF,
@@ -96,8 +105,8 @@ def build_condensed_qp(x0, x_ref, A_seq, B, contact, q_weights, r_weights,
     #   rows 3:6  = dt * (k - j) * Bf[j]
     #   rows 6:9  = Bt[j]
     #   rows 9:12 = Bf[j]
-    U = jnp.einsum("kab,jbc->kjac", Mcum, Bt)             # (H,H,3,12)
-    V = jnp.einsum("jab,jbc->jac", Mcum, Bt)              # (H,3,12)
+    U = _einsum("kab,jbc->kjac", Mcum, Bt)             # (H,H,3,12)
+    V = _einsum("jab,jbc->jac", Mcum, Bt)              # (H,3,12)
     ks = jnp.arange(H, dtype=dtype)
     kmj = ks[:, None] - ks[None, :]                       # (H,H)
     tril = (kmj >= 0).astype(dtype)[:, :, None, None]
@@ -114,7 +123,7 @@ def build_condensed_qp(x0, x_ref, A_seq, B, contact, q_weights, r_weights,
     y0 = A_seq[0] @ x0
     Msum1k = Mcum - Mcum[0][None]                         # sum_{m=1..k}
     c = jnp.broadcast_to(y0, (H, MPC_STATE_DIM))
-    c = c.at[:, 0:3].add(dt * jnp.einsum("kab,b->ka", Msum1k, y0[6:9]))
+    c = c.at[:, 0:3].add(dt * _einsum("kab,b->ka", Msum1k, y0[6:9]))
     c = c.at[:, 3:6].add(dt * ks[:, None] * y0[9:12][None])
     g_dt = GRAVITY * dt
     c = c.at[:, 11].add(-(ks + 1.0) * g_dt)
@@ -127,9 +136,12 @@ def build_condensed_qp(x0, x_ref, A_seq, B, contact, q_weights, r_weights,
     rbar = jnp.tile(r_weights, H)
 
     SQ = Sm * qbar[:, None]
-    P = Sm.T @ SQ + jnp.diag(rbar)
+    P = _einsum("ki,kj->ij", Sm, SQ) + jnp.diag(rbar)
+    # enforce exact symmetry (the contraction is symmetric only up to
+    # rounding; Cholesky-based solvers read both triangles)
+    P = 0.5 * (P + P.T)
     resid = (c - x_ref).reshape(-1)                       # (12H,)
-    q = SQ.T @ resid
+    q = _einsum("ki,k->i", SQ, resid)
 
     return CondensedQP(P=P, q=q, contact=contact,
                        mu=jnp.asarray(mu, dtype),
