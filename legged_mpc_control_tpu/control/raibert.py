@@ -16,10 +16,14 @@ from legged_mpc_control_tpu.config import RobotParams
 
 
 def raibert_footholds(root_pos, root_lin_vel, root_rot_mat_z,
-                      root_lin_vel_d_rel, params: RobotParams):
+                      root_lin_vel_d_rel, params: RobotParams,
+                      terrain=None):
     """Returns (target_abs (4,3), target_world (4,3)).
 
-    reference: BaseInterface.cpp:358-399.
+    reference: BaseInterface.cpp:358-399. With a height map, the foothold's
+    z snaps to the terrain under the planned xy (height-map footholds — the
+    reference's FSM instead discovers terrain height at touchdown,
+    LeggedContactFSM.cpp:86-90; planning on the map steps boxes cleanly).
     """
     v = root_lin_vel.at[2].set(0.0)
     v_d = root_rot_mat_z @ root_lin_vel_d_rel
@@ -37,4 +41,10 @@ def raibert_footholds(root_pos, root_lin_vel, root_rot_mat_z,
                   dtype=delta.dtype))
     target_abs = target_abs.at[:, 0:2].add(delta[None, :])
     target_world = target_abs + root_pos[None, :]
+    if terrain is not None:
+        from legged_mpc_control_tpu.sim import terrain as terrain_mod
+
+        tz = terrain_mod.height_at(terrain, target_world[:, :2])   # (4,)
+        target_world = target_world.at[:, 2].set(tz)
+        target_abs = target_abs.at[:, 2].set(tz - root_pos[2])
     return target_abs, target_world

@@ -48,14 +48,27 @@ class SimState:
     last_acc: Any       # (3,) world linear acceleration (for the IMU model)
 
 
-def sim_init(params: RobotParams, height=0.3, dtype=jnp.float32) -> SimState:
-    """Start standing: body at `height`, feet at default stance on ground."""
-    pos = jnp.array([0.0, 0.0, height], dtype=dtype)
+def sim_init(params: RobotParams, height=0.3, dtype=jnp.float32,
+             terrain=None) -> SimState:
+    """Start standing: body at `height` above the ground, feet at default
+    stance on the (possibly non-flat) ground."""
+    ground = 0.0
+    if terrain is not None:
+        from legged_mpc_control_tpu.sim import terrain as terrain_mod
+
+        ground = terrain_mod.height_at(
+            terrain, jnp.zeros(2, dtype=dtype))
+    pos = jnp.array([0.0, 0.0, 0.0], dtype=dtype).at[2].set(height + ground)
     # joints from IK of default stance (feet on the ground under the hips)
     foot_rel = params.default_foot_pos.astype(dtype).at[:, 2].set(-height)
     q_guess = jnp.tile(jnp.array([0.0, 0.8, -1.6], dtype=dtype), (4, 1))
     q = kin.ik_legs(foot_rel, q_guess, params.rho_fix)
     anchor = foot_rel + pos[None, :]
+    if terrain is not None:
+        from legged_mpc_control_tpu.sim import terrain as terrain_mod
+
+        anchor = anchor.at[:, 2].set(
+            terrain_mod.height_at(terrain, anchor[:, :2]))
     return SimState(
         pos=pos,
         quat=jnp.array([1.0, 0.0, 0.0, 0.0], dtype=dtype),
@@ -70,8 +83,12 @@ def sim_init(params: RobotParams, height=0.3, dtype=jnp.float32) -> SimState:
 
 
 def sim_step(s: SimState, tau: jnp.ndarray, params: RobotParams,
-             dt, terrain_height=0.0) -> SimState:
-    """Advance the world by dt under joint torques `tau` (12,)."""
+             dt, terrain_height=0.0, terrain=None) -> SimState:
+    """Advance the world by dt under joint torques `tau` (12,).
+
+    Ground model: flat plane at `terrain_height`, or a height field if
+    `terrain` (sim/terrain.Terrain) is given — per-foot touchdown height is
+    then sampled under each foot."""
     dtype = s.pos.dtype
     R = so3.quat_to_rotmat(s.quat)
     q_legs = s.q.reshape(4, 3)
@@ -95,11 +112,17 @@ def sim_step(s: SimState, tau: jnp.ndarray, params: RobotParams,
 
     # contact transitions: engage on touchdown, release when support force
     # commanded through the leg vanishes
-    touching = foot_world[:, 2] <= terrain_height
+    if terrain is not None:
+        from legged_mpc_control_tpu.sim import terrain as terrain_mod
+
+        ground_h = terrain_mod.height_at(terrain, foot_world[:, :2])  # (4,)
+    else:
+        ground_h = jnp.full((4,), terrain_height, dtype=dtype)
+    touching = foot_world[:, 2] <= ground_h
     new_contact = jnp.where(s.contact, fz > CONTACT_RELEASE_FZ, touching)
     anchor = jnp.where(
         (~s.contact & new_contact)[:, None],
-        foot_world.at[:, 2].set(terrain_height), s.anchor)
+        foot_world.at[:, 2].set(ground_h), s.anchor)
 
     grf = jnp.where(new_contact[:, None], f_world, 0.0)
 
