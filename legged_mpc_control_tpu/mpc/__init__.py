@@ -1,1 +1,1 @@
-from legged_mpc_control_tpu.mpc import gait, qp_builder, pdip, reference
+from legged_mpc_control_tpu.mpc import admm, gait, qp_builder, pdip, reference
