@@ -59,6 +59,19 @@ class RobotParams:
     min_body_height: Any      # scalar
 
 
+def param_base_ndims() -> RobotParams:
+    """Canonical (unbatched) rank of each RobotParams leaf.
+
+    Used by control.step.broadcast_params to distinguish a scenario batch
+    axis from structural axes (the leg axis of rho_fix/default_foot_pos)."""
+    return RobotParams(
+        mass=0, trunk_inertia=2, q_weights=1, r_weights=1, mu=0,
+        fz_max=0, gait_counter_speed=0, default_foot_pos=2,
+        kp_foot=1, kd_foot=1, foot_sensor_min=0, foot_sensor_max=0,
+        foot_sensor_ratio=0, rho_fix=2, max_body_height=0,
+        min_body_height=0)
+
+
 def _rho_fix(dtype):
     """A1/Go1 leg geometry. reference: BaseInterface.cpp:76-89 (both robots
     use the same hard-coded kinematic constants in the reference)."""

@@ -225,6 +225,100 @@ def closed_loop_tick(loop: LoopState, params: RobotParams,
     return LoopState(controller=cs, sim=sim)
 
 
+def default_backend() -> str:
+    """Solver backend for the batched QP kernels: Pallas batch-in-lanes
+    Cholesky on TPU, XLA linalg elsewhere (CPU tests / f64 oracles)."""
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def broadcast_params(params: RobotParams, batch: int) -> RobotParams:
+    """Give every RobotParams leaf a leading scenario axis. Leaves already
+    batched (runner.randomize_params output) pass through; shared leaves are
+    broadcast — XLA keeps these as broadcasts, no memory is materialized.
+
+    Batched-ness is decided against the canonical (unbatched) leaf rank, not
+    by comparing shape[0] to `batch` — leg-indexed leaves like rho_fix (4,5)
+    must not be mistaken for scenario axes when batch == 4."""
+    from legged_mpc_control_tpu import config as config_mod
+
+    base_ndims = config_mod.param_base_ndims()
+
+    def bc(x, nd):
+        x = jnp.asarray(x)
+        if x.ndim == nd + 1:
+            return x
+        return jnp.broadcast_to(x, (batch,) + x.shape)
+    return jax.tree.map(bc, params, base_ndims)
+
+
+def admm_warm_init(batch: int, horizon: int, dtype=jnp.float32):
+    """Zero ADMM warm tuple (== cold start) shaped for the rollout carry."""
+    n = 12 * horizon
+    z = jnp.zeros((batch, horizon, 4, 6), dtype=dtype)
+    return (jnp.zeros((batch, n), dtype=dtype), z, z)
+
+
+@partial(jax.jit, static_argnames=("horizon", "substeps", "kf_type",
+                                   "iters", "solver", "backend"))
+def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
+                             pattern: gait_mod.GaitPattern, *,
+                             horizon: int = 10,
+                             substeps: int = C.SUBSTEPS_PER_MPC_TICK,
+                             kf_type: int = 0,
+                             iters: int = 15,
+                             solver: str = "pdip",
+                             backend: str = None,
+                             warm=None):
+    """Scenario-batched closed-loop tick. Same semantics as
+    `closed_loop_tick` vmapped over a leading scenario axis, EXCEPT the QP
+    solve runs once for the whole batch through the explicitly-batched
+    solver (Pallas batch-in-lanes Cholesky on TPU) instead of vmapping the
+    unbatched solve into XLA's ~30x-slower library Cholesky.
+
+    Args:
+      loop: LoopState with a leading scenario axis on every leaf.
+      params: RobotParams with a leading scenario axis on every leaf
+        (see `broadcast_params`).
+      solver/warm: "pdip" (cold, reference-accuracy) or "admm" with the warm
+        tuple carried across ticks (reference: ConvexQPSolver.cpp:185).
+
+    Returns (loop', warm').
+    """
+    dt_mpc = C.MPC_DT
+    dt_ll = dt_mpc / substeps
+    if backend is None:
+        backend = default_backend()
+
+    v_anf = jax.vmap(_anchored_normal_force)
+    v_sensors = jax.vmap(_sim_sensors)
+    v_fb = jax.vmap(
+        lambda cs, raw, p: feedback_update(cs, raw, p, dt_ll,
+                                           kf_type=kf_type))
+    v_ll = jax.vmap(lowlevel_update)
+    v_sim = jax.vmap(lambda sim, tau, p: srb_sim.sim_step(sim, tau, p, dt_ll))
+
+    cs = loop.controller
+    grf_normal = jnp.where(loop.sim.contact, v_anf(loop, params), 0.0)
+    cs = v_fb(cs, v_sensors(loop.sim, params, grf_normal), params)
+    cs, warm = convex_mpc.mpc_tick_batched(
+        cs, params, pattern, dt_mpc, horizon=horizon, iters=iters,
+        solver=solver, backend=backend, warm=warm)
+
+    def substep(carry, _):
+        cs, sim = carry
+        cs, tau, _safe = v_ll(cs, params)
+        sim = v_sim(sim, tau, params)
+        grf_n = jnp.where(
+            sim.contact,
+            v_anf(LoopState(controller=cs, sim=sim), params), 0.0)
+        cs = v_fb(cs, v_sensors(sim, params, grf_n), params)
+        return (cs, sim), None
+
+    (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
+                                length=substeps)
+    return LoopState(controller=cs, sim=sim), warm
+
+
 def _anchored_normal_force(loop: LoopState, params: RobotParams):
     """Foot-sensor model: normal force the anchored legs transmit, from the
     last commanded torques (quasi-static)."""

@@ -81,6 +81,9 @@ def solve_qp_admm_batched(P, q, mu, fz_max, contact, *, iters=200,
     B, n = q.shape
     H = n // 12
     dtype = P.dtype
+    if backend == "pallas" and not chol_pallas.fits_vmem(
+            n, jnp.dtype(dtype).itemsize):
+        backend = "xla"     # (n,n,LANES) tile exceeds scoped VMEM (H>~16)
 
     # --- equilibration ---
     dgP = jax.vmap(jnp.diag)(P)                           # (B,n)
@@ -89,13 +92,15 @@ def solve_qp_admm_batched(P, q, mu, fz_max, contact, *, iters=200,
     qs = q * d
 
     # per-(step,leg) scaled constraint blocks G~ = E G_loc D_leg
-    Gl = _g_local(mu, dtype)                              # (6,3)
+    # (_g_local handles scalar or per-scenario (B,) mu)
+    Glb = jnp.broadcast_to(_g_local(mu, dtype), (B, 6, 3))
     d_leg = d.reshape(B, H, 4, 3)
-    Gb = Gl[None, None, None] * d_leg[..., None, :]       # (B,H,4,6,3)
+    Gb = Glb[:, None, None] * d_leg[..., None, :]         # (B,H,4,6,3)
     e = jax.lax.rsqrt(jnp.maximum(
         jnp.sum(Gb * Gb, axis=-1), 1e-12))                # (B,H,4,6)
     Gb = Gb * e[..., None]
-    hs = _h_vec(H, fz_max, dtype)[None] * e               # (B,H,4,6)
+    hs = jnp.broadcast_to(
+        _h_vec(H, fz_max, dtype), (B, H, 4, N_CON_PER_LEG)) * e
     NEG = jnp.asarray(-1e20 if dtype == jnp.float64 else -3e38, dtype)
 
     rho_arr = jnp.asarray(rho, dtype)
@@ -152,9 +157,7 @@ def solve_qp_admm_batched(P, q, mu, fz_max, contact, *, iters=200,
     u = x * d
     lam = (y * e).reshape(B, H, 4, N_CON_PER_LEG)
     r_dual_vec = (_einsum("bij,bj->bi", P, u) + q
-                  + _einsum("hlri,bhlr->bhli", Gl[None, None] *
-                            jnp.ones((H, 4, 1, 1), dtype),
-                            lam).reshape(B, n))
+                  + _einsum("bri,bhlr->bhli", Glb, lam).reshape(B, n))
     r_dual = jnp.max(jnp.abs(r_dual_vec), axis=-1)
 
     # exact swing-leg zeroing (same argument as pdip.py: masked-out columns

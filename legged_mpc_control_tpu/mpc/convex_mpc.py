@@ -5,22 +5,38 @@ Functional equivalent of `ConvexMpc::update`
 joystick-command filtering, per-leg gait FSM stepping, QP construction +
 solve, and packing of `optimized_state` / `optimized_input` for the
 low-level controller.
+
+The tick is split into `mpc_prepare` (everything up to the QP) and
+`mpc_finish` (packing after the GRF solve) so a scenario batch can vmap the
+cheap build/pack stages while routing the Newton factorizations through the
+*explicitly-batched* solvers — `pdip.solve_qp_pdip_batched` /
+`admm.solve_qp_admm_batched` with the Pallas batch-in-lanes Cholesky
+(ops/chol_pallas.py). Calling the unbatched `solve_qp_pdip` under `vmap`
+instead lowers to XLA's library Cholesky, which runs this batched-small
+regime ~30x slower (see chol_pallas.py).
 """
+
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from legged_mpc_control_tpu.config import RobotParams
-from legged_mpc_control_tpu.mpc import gait as gait_mod
+from legged_mpc_control_tpu.mpc import admm, gait as gait_mod
 from legged_mpc_control_tpu.mpc import pdip, qp_builder, reference
 from legged_mpc_control_tpu.ops.filters import moving_window_update
 from legged_mpc_control_tpu.types import ControllerState
 
 
-def mpc_tick(state: ControllerState, params: RobotParams,
-             pattern: gait_mod.GaitPattern, dt, *,
-             horizon: int, pdip_iters: int = 18) -> ControllerState:
-    """One MPC update (reference 100 Hz thread body, ConvexMpc.cpp:24-62)."""
+def mpc_prepare(state: ControllerState, params: RobotParams,
+                pattern: gait_mod.GaitPattern, dt, *,
+                horizon: int) -> Tuple[ControllerState,
+                                       qp_builder.CondensedQP]:
+    """Everything before the QP solve: joystick filtering, gait stepping,
+    contact prediction, reference + linearization, condensed QP build
+    (reference: ConvexMpc.cpp:33-108 minus the solve at :64-78).
+
+    Returns (state with ctrl/gait/filters updated, CondensedQP)."""
     fbk, ctrl, joy = state.fbk, state.ctrl, state.joy
     dtype = fbk.root_pos.dtype
     legs = jnp.arange(4, dtype=jnp.int32)
@@ -55,7 +71,7 @@ def mpc_tick(state: ControllerState, params: RobotParams,
         jax.vmap(gait_mod.get_contact_state)(gait_upd))
     ctrl = ctrl.replace(plan_contacts=plan_contacts)
 
-    # --- grf update (reference: ConvexMpc.cpp:64-78) ---
+    # --- QP construction (reference: ConvexMpc.cpp:64-78 build half) ---
     cmd = reference.MpcCmd(
         root_pos_d=ctrl.root_pos_d,
         root_euler_d=ctrl.root_euler_d,
@@ -83,23 +99,81 @@ def mpc_tick(state: ControllerState, params: RobotParams,
     qp = qp_builder.build_condensed_qp(
         x0, x_ref, A_seq, B, contact, params.q_weights, params.r_weights,
         params.mu, params.fz_max, dt)
-    res = pdip.solve_qp_pdip(qp.P, qp.q, qp.mu, qp.fz_max,
-                             contact=contact, iters=pdip_iters)
-    grf = res.u[0:12]
-    # NaN guard (reference: ConvexQPSolver.cpp:321-326)
-    grf = jnp.where(jnp.any(jnp.isnan(grf)), jnp.zeros_like(grf), grf)
 
-    # --- pack outputs (reference: ConvexMpc.cpp:49-57) ---
-    foot_targets = new_gait.target_pos            # (4,3) FSM world targets
-    foot_vels = new_gait.target_vel
+    state = state.replace(
+        ctrl=ctrl, gait=new_gait,
+        vel_filter_x=vfx, vel_filter_y=vfy)
+    return state, qp
+
+
+def mpc_finish(state: ControllerState, grf) -> ControllerState:
+    """Pack the solved GRFs + FSM foot targets into optimized_state/input
+    (reference: ConvexMpc.cpp:49-57)."""
+    ctrl = state.ctrl
+    foot_targets = state.gait.target_pos          # (4,3) FSM world targets
+    foot_vels = state.gait.target_vel
     optimized_state = jnp.concatenate(
         [ctrl.root_pos_d, ctrl.root_euler_d, foot_targets.reshape(-1)])
     optimized_input = jnp.concatenate([grf, foot_vels.reshape(-1)])
     ctrl = ctrl.replace(optimized_state=optimized_state,
                         optimized_input=optimized_input)
+    return state.replace(ctrl=ctrl, mpc_inited=jnp.ones((), dtype=bool))
 
-    return state.replace(
-        ctrl=ctrl, gait=new_gait,
-        vel_filter_x=vfx, vel_filter_y=vfy,
-        mpc_inited=jnp.ones((), dtype=bool),
-    )
+
+def mpc_tick(state: ControllerState, params: RobotParams,
+             pattern: gait_mod.GaitPattern, dt, *,
+             horizon: int, pdip_iters: int = 18) -> ControllerState:
+    """One MPC update (reference 100 Hz thread body, ConvexMpc.cpp:24-62).
+
+    Single-scenario path (CLI / hardware loop). Batched rollouts should use
+    `mpc_tick_batched` so the solve hits the Pallas batched kernels."""
+    state, qp = mpc_prepare(state, params, pattern, dt, horizon=horizon)
+    res = pdip.solve_qp_pdip(qp.P, qp.q, qp.mu, qp.fz_max,
+                             contact=qp.contact, iters=pdip_iters)
+    grf = res.u[0:12]
+    # NaN guard (reference: ConvexQPSolver.cpp:321-326)
+    grf = jnp.where(jnp.any(jnp.isnan(grf)), jnp.zeros_like(grf), grf)
+    return mpc_finish(state, grf)
+
+
+def mpc_tick_batched(states: ControllerState, params: RobotParams,
+                     pattern: gait_mod.GaitPattern, dt, *,
+                     horizon: int, iters: int = 15,
+                     solver: str = "pdip", backend: str = "pallas",
+                     warm=None) -> Tuple[ControllerState, Optional[tuple]]:
+    """Batched MPC tick: vmap the QP build/pack, solve the whole scenario
+    batch in ONE call to the explicitly-batched solver (Pallas Cholesky).
+
+    Args:
+      states: ControllerState with a leading scenario axis on every leaf.
+      params: RobotParams with a leading scenario axis on every leaf
+        (broadcast shared leaves with `parallel.runner.broadcast_params`).
+      solver: "pdip" (cold interior point, reference-accuracy) or "admm"
+        (OSQP-equivalent; pass `warm` carried across ticks to mirror the
+        reference's `setWarmStart(true)`, ConvexQPSolver.cpp:185).
+      backend: "pallas" on TPU, "xla" on CPU.
+      warm: ADMM warm tuple from the previous tick (solver="admm" only).
+
+    Returns (states', warm') where warm' is None for pdip.
+    """
+    states, qp = jax.vmap(
+        lambda s, p: mpc_prepare(s, p, pattern, dt, horizon=horizon)
+    )(states, params)
+
+    if solver == "admm":
+        res = admm.solve_qp_admm_batched(
+            qp.P, qp.q, qp.mu, qp.fz_max, qp.contact,
+            iters=iters, warm=warm, backend=backend)
+        warm_out = res.warm
+    else:
+        res = pdip.solve_qp_pdip_batched(
+            qp.P, qp.q, qp.mu, qp.fz_max, qp.contact,
+            iters=iters, backend=backend)
+        warm_out = None
+
+    grf = res.u[:, 0:12]
+    # per-scenario NaN guard (reference: ConvexQPSolver.cpp:321-326)
+    bad = jnp.any(jnp.isnan(grf), axis=-1, keepdims=True)
+    grf = jnp.where(bad, jnp.zeros_like(grf), grf)
+    states = jax.vmap(mpc_finish)(states, grf)
+    return states, warm_out

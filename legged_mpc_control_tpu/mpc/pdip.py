@@ -45,49 +45,69 @@ class PdipResult(NamedTuple):
     iters: jnp.ndarray        # iterations actually used (<= max_iter)
 
 
+# The per-leg constraint matrix decomposes as G(mu) = GA + mu * GB with
+# constant GA/GB — rows are the 4 friction pyramid faces, fz cap, and -fz.
+# (Expressed via dense constants so G, G^T and G^T D G all lower to einsums
+# plus a broadcast multiply-add — elementwise stack/slice formulations of
+# these tiny operators poison XLA's TPU layout assignment for the whole
+# program, dragging the adjacent batched Cholesky into a ~500x slower
+# batch-minor layout. The decomposition also admits per-scenario mu, which
+# the domain-randomized runner needs.)
+_GA = ((-1.0, 0.0, 0.0), (1.0, 0.0, 0.0), (0.0, -1.0, 0.0),
+       (0.0, 1.0, 0.0), (0.0, 0.0, 1.0), (0.0, 0.0, -1.0))
+_GB = ((0.0, 0.0, -1.0),) * 4 + ((0.0, 0.0, 0.0),) * 2
+
+
+def _bmu(mu, out_ndim, dtype):
+    """Reshape scalar or (B,) mu to broadcast against an out_ndim tensor."""
+    mu = jnp.asarray(mu, dtype)
+    return mu.reshape(mu.shape + (1,) * (out_ndim - mu.ndim))
+
+
 def _g_local(mu, dtype):
-    """The per-leg constraint matrix G_loc (6,3): rows are the 4 friction
-    pyramid faces, fz cap, and -fz. (Expressed as a dense constant so G, G^T
-    and G^T D G all lower to einsums — elementwise stack/slice formulations
-    of these tiny operators poison XLA's TPU layout assignment for the whole
-    program, dragging the adjacent batched Cholesky into a ~500x slower
-    batch-minor layout.)"""
-    return jnp.array([
-        [-1.0, 0.0, -mu],
-        [1.0, 0.0, -mu],
-        [0.0, -1.0, -mu],
-        [0.0, 1.0, -mu],
-        [0.0, 0.0, 1.0],
-        [0.0, 0.0, -1.0],
-    ], dtype=dtype)
+    """G(mu) per leg: shape mu.shape + (6, 3). mu scalar or (B,)."""
+    mu = jnp.asarray(mu, dtype)
+    return (jnp.array(_GA, dtype)
+            + mu[..., None, None] * jnp.array(_GB, dtype))
 
 
 def _g_apply(u_legs, mu):
-    """G @ u. u_legs: (..., H, 4, 3) -> (..., H, 4, 6)."""
-    G = _g_local(mu, u_legs.dtype)
-    return _einsum("...i,ri->...r", u_legs, G)
+    """G @ u. u_legs: (..., H, 4, 3) -> (..., H, 4, 6). mu scalar or (B,)."""
+    dtype = u_legs.dtype
+    a = _einsum("...i,ri->...r", u_legs, jnp.array(_GA, dtype))
+    b = _einsum("...i,ri->...r", u_legs, jnp.array(_GB, dtype))
+    return a + _bmu(mu, a.ndim, dtype) * b
 
 
 def _gt_apply(w, mu):
-    """G^T @ w. w: (..., H, 4, 6) -> (..., H, 4, 3)."""
-    G = _g_local(mu, w.dtype)
-    return _einsum("...r,ri->...i", w, G)
+    """G^T @ w. w: (..., H, 4, 6) -> (..., H, 4, 3). mu scalar or (B,)."""
+    dtype = w.dtype
+    a = _einsum("...r,ri->...i", w, jnp.array(_GA, dtype))
+    b = _einsum("...r,ri->...i", w, jnp.array(_GB, dtype))
+    return a + _bmu(mu, a.ndim, dtype) * b
 
 
 def _gtdg_blocks(d, mu):
     """3x3 blocks of G^T diag(d) G per (step, leg).
-    d: (..., H, 4, 6) -> (..., H, 4, 3, 3)."""
-    G = _g_local(mu, d.dtype)
-    return _einsum("...r,ri,rj->...ij", d, G, G)
+    d: (..., H, 4, 6) -> (..., H, 4, 3, 3). mu scalar or (B,).
+
+    G^T D G = A^T D A + mu (A^T D B + B^T D A) + mu^2 B^T D B."""
+    dtype = d.dtype
+    GA, GB = jnp.array(_GA, dtype), jnp.array(_GB, dtype)
+    aa = _einsum("...r,ri,rj->...ij", d, GA, GA)
+    ab = _einsum("...r,ri,rj->...ij", d, GA, GB)
+    bb = _einsum("...r,ri,rj->...ij", d, GB, GB)
+    m = _bmu(mu, aa.ndim, dtype)
+    return aa + m * (ab + jnp.swapaxes(ab, -1, -2)) + m * m * bb
 
 
 def _h_vec(H, fz_max, dtype):
-    """RHS h of G u <= h: (H, 4, 6). The fz cap stays fz_max for all legs;
-    swing-leg forces are already forced to zero by B-masking + R-penalty."""
-    h1 = jnp.zeros((H, 4, 4), dtype=dtype)
-    h5 = jnp.full((H, 4, 1), fz_max, dtype=dtype)
-    h6 = jnp.zeros((H, 4, 1), dtype=dtype)
-    return jnp.concatenate([h1, h5, h6], axis=-1)
+    """RHS h of G u <= h: fz_max.shape + (H, 4, 6). The fz cap stays fz_max
+    for all legs; swing-leg forces are already forced to zero by B-masking +
+    R-penalty. fz_max scalar or (B,)."""
+    fz = jnp.asarray(fz_max, dtype)
+    e_cap = jnp.zeros((6,), dtype=dtype).at[4].set(1.0)
+    return fz[..., None, None, None] * jnp.broadcast_to(e_cap, (H, 4, 6))
 
 
 def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
@@ -232,6 +252,9 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
     B, n = q.shape
     H = n // 12
     dtype = P.dtype
+    if backend == "pallas" and not chol_pallas.fits_vmem(
+            n, jnp.dtype(dtype).itemsize):
+        backend = "xla"     # (n,n,LANES) tile exceeds scoped VMEM (H>~16)
     m = H * 4 * N_CON_PER_LEG
     if tol is None:
         tol = 1e-11 if dtype == jnp.float64 else 1e-6
@@ -239,7 +262,8 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
     reg = 1e-11 if dtype == jnp.float64 else 1e-6
     eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
 
-    h = _h_vec(H, fz_max, dtype)[None]                     # (1,H,4,6)
+    # h broadcasts over the batch; with per-scenario fz_max it is (B,H,4,6)
+    h = jnp.broadcast_to(_h_vec(H, fz_max, dtype), (B, H, 4, 6))
 
     def Gdot(u):
         return _g_apply(u.reshape(B, H, 4, 3), mu)
@@ -248,7 +272,7 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
         return _gt_apply(w, mu).reshape(B, n)
 
     u = jnp.zeros((B, n), dtype=dtype)
-    s = jnp.broadcast_to(jnp.maximum(h - Gdot(u), 1.0), (B, H, 4, 6))
+    s = jnp.maximum(h - Gdot(u), 1.0)
     lam = jnp.ones_like(s)
 
     def body(carry, _):

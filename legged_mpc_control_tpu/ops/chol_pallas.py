@@ -29,6 +29,17 @@ from jax.experimental.pallas import tpu as pltpu
 NB = 8          # panel width (sublane granularity)
 LANES = 128     # batch tile width
 
+# scoped-VMEM budget for the (n, n, LANES) resident tile (v5e limit 16 MB;
+# leave headroom for the rhs tiles and pipeline state)
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024
+
+
+def fits_vmem(n: int, itemsize: int = 4) -> bool:
+    """True if the matrix-resident kernels' (n, n, LANES) scratch fits the
+    scoped-VMEM budget. Callers should fall back to the XLA backend (or the
+    Riccati-structured solver for long horizons) when it does not."""
+    return n * n * LANES * itemsize <= VMEM_BUDGET_BYTES
+
 
 def _chol_kernel(K_hbm, L_hbm, L_ref, sem_in, sem_out):
     # K/L stay in HBM; one (n, n, LANES) VMEM scratch holds the active tile.
@@ -161,8 +172,8 @@ def cholesky_lanes(Kt, interpret=False):
         _chol_kernel,
         out_shape=jax.ShapeDtypeStruct((n, n, B), Kt.dtype),
         grid=(B // LANES,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((n, n, LANES), Kt.dtype),
             pltpu.SemaphoreType.DMA,
@@ -186,7 +197,7 @@ def cho_solve_lanes(Lt, rhs_t, interpret=False):
         out_shape=jax.ShapeDtypeStruct((n, B), rhs_t.dtype),
         grid=(B // LANES,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((n, LANES), lambda b: (0, b),
                          memory_space=pltpu.VMEM),
         ],

@@ -46,37 +46,48 @@ def randomize_params(params: RobotParams, key, batch: int,
 
 def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
                          n_ticks=100, substeps=C.SUBSTEPS_PER_MPC_TICK,
-                         pdip_iters=12, use_ground_truth=True,
-                         walk_velx=0.0):
+                         pdip_iters=12, use_ground_truth=True, kf_type=None,
+                         walk_velx=0.0, solver="pdip", backend=None):
     """Returns rollout(loop_batch, params_batched) -> (final, diag).
+
+    The scenario batch flows through `closed_loop_tick_batched`, so every
+    tick's Newton factorizations run in ONE explicitly-batched solver call
+    (Pallas batch-in-lanes Cholesky on TPU — the regime XLA's library
+    Cholesky runs ~30x slower, see ops/chol_pallas.py).
+
+    Args:
+      solver: "pdip" (cold interior point each tick) or "admm" — the
+        OSQP-equivalent with its warm tuple carried tick-to-tick in the
+        rollout state, mirroring the reference's `setWarmStart(true)`
+        (reference: ConvexQPSolver.cpp:185).
+      pdip_iters: iteration count for either solver.
 
     diag: per-tick (pos (T,B,3), vel (T,B,3)) trajectories.
     """
-
-    def one_tick(loop, params):
-        cs = loop.controller
-        cs = cs.replace(joy=cs.joy.replace(
-            velx=jnp.asarray(walk_velx, loop.sim.pos.dtype)))
-        loop = loop.replace(controller=cs)
-        return step_mod.closed_loop_tick(
-            loop, params, pattern, horizon=horizon, substeps=substeps,
-            use_ground_truth=use_ground_truth, pdip_iters=pdip_iters)
-
-    axes_params = RobotParams(
-        mass=0, trunk_inertia=None, q_weights=None, r_weights=None,
-        mu=0, fz_max=None, gait_counter_speed=0, default_foot_pos=None,
-        kp_foot=None, kd_foot=None, foot_sensor_min=None,
-        foot_sensor_max=None, foot_sensor_ratio=None, rho_fix=None,
-        max_body_height=None, min_body_height=None)
-
-    tick_batched = jax.vmap(one_tick, in_axes=(0, axes_params))
+    if kf_type is None:
+        kf_type = 0 if use_ground_truth else 1
 
     def rollout(loop, params):
-        def body(carry, _):
-            carry = tick_batched(carry, params)
-            return carry, (carry.sim.pos, carry.sim.vel)
+        batch = loop.sim.pos.shape[0]
+        dtype = loop.sim.pos.dtype
+        params_b = step_mod.broadcast_params(params, batch)
+        warm0 = (step_mod.admm_warm_init(batch, horizon, dtype)
+                 if solver == "admm" else None)
 
-        final, diag = jax.lax.scan(body, loop, None, length=n_ticks)
+        def body(carry, _):
+            loop, warm = carry
+            cs = loop.controller
+            cs = cs.replace(joy=cs.joy.replace(
+                velx=jnp.full((batch,), walk_velx, dtype)))
+            loop = loop.replace(controller=cs)
+            loop, warm = step_mod.closed_loop_tick_batched(
+                loop, params_b, pattern, horizon=horizon, substeps=substeps,
+                kf_type=kf_type, iters=pdip_iters, solver=solver,
+                backend=backend, warm=warm)
+            return (loop, warm), (loop.sim.pos, loop.sim.vel)
+
+        (final, _), diag = jax.lax.scan(body, (loop, warm0), None,
+                                        length=n_ticks)
         return final, diag
 
     return rollout
@@ -93,4 +104,6 @@ def init_loop_batch(params: RobotParams, batch: int, key,
                                                 body_height=0.3),
             sim=srb_sim.sim_init(params, height=h, dtype=dtype))
 
-    return jax.vmap(init_one)(heights)
+    # jit: eager vmapped init dispatches hundreds of tiny ops per scenario
+    # (~minutes of host overhead at batch 4096 on the CPU mesh)
+    return jax.jit(jax.vmap(init_one))(heights)
