@@ -162,12 +162,27 @@ def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
                       estimation_inited=est_inited)
 
 
-def lowlevel_update(cs: ControllerState, params: RobotParams):
+def lowlevel_update(cs: ControllerState, params: RobotParams,
+                    low_level_type: int = 0):
     """Control-thread body: GRF mapping + swing IK + safety + PD torque
-    (reference: ctrl_update, GazeboInterface.cpp:63-88)."""
+    (reference: ctrl_update, GazeboInterface.cpp:63-88).
+
+    low_level_type (reference: LeggedState.h:149):
+      0 = Jacobian-transpose tau control (reference tau_ctrl_update,
+          BaseInterface.cpp:451-500) — the reference's live default;
+      1 = hierarchical WBC feedforward torques (reference wbc_update,
+          BaseInterface.cpp:502-557; compiled-but-disabled there, a live
+          selectable path here) with the IK joint PD targets kept on top,
+          as the reference's workspace swing mode does (:531-543).
+    """
     q_tgt, dq_tgt, tau_ff = low_level.tau_ctrl_update(
         cs.fbk, cs.ctrl.optimized_state, cs.ctrl.optimized_input,
         cs.ctrl.movement_mode, params)
+    if low_level_type == 1:
+        from legged_mpc_control_tpu.control import wbc as wbc_mod
+        from legged_mpc_control_tpu.models import whole_body as wb
+        tau_ff, _F = wbc_mod.wbc_from_controller(
+            cs.fbk, cs.ctrl, wb.a1_wb_model())
     ctrl = cs.ctrl.replace(joint_ang_tgt=q_tgt, joint_vel_tgt=dq_tgt,
                            joint_tau_tgt=tau_ff)
     tau = low_level.pd_torque(cs.fbk.joint_pos, cs.fbk.joint_vel,
@@ -184,13 +199,14 @@ def _sim_sensors(sim: srb_sim.SimState, params: RobotParams, grf_est):
 
 
 @partial(jax.jit, static_argnames=("horizon", "substeps", "use_ground_truth",
-                                   "pdip_iters", "kf_type"))
+                                   "pdip_iters", "kf_type", "low_level_type"))
 def closed_loop_tick(loop: LoopState, params: RobotParams,
                      pattern: gait_mod.GaitPattern, *,
                      horizon: int = 10,
                      substeps: int = C.SUBSTEPS_PER_MPC_TICK,
                      use_ground_truth: bool = True,
                      kf_type: int = None,
+                     low_level_type: int = 0,
                      pdip_iters: int = 15) -> LoopState:
     """One full MPC period of closed-loop sim: mpc tick + `substeps`
     low-level/sim steps."""
@@ -210,7 +226,7 @@ def closed_loop_tick(loop: LoopState, params: RobotParams,
 
     def substep(carry, _):
         cs, sim = carry
-        cs, tau, _safe = lowlevel_update(cs, params)
+        cs, tau, _safe = lowlevel_update(cs, params, low_level_type)
         sim = srb_sim.sim_step(sim, tau, params, dt_ll)
         grf_n = jnp.where(sim.contact,
                           _anchored_normal_force(
@@ -259,7 +275,8 @@ def admm_warm_init(batch: int, horizon: int, dtype=jnp.float32):
 
 
 @partial(jax.jit, static_argnames=("horizon", "substeps", "kf_type",
-                                   "iters", "solver", "backend"))
+                                   "iters", "solver", "backend",
+                                   "low_level_type"))
 def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
                              pattern: gait_mod.GaitPattern, *,
                              horizon: int = 10,
@@ -268,6 +285,7 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
                              iters: int = 15,
                              solver: str = "pdip",
                              backend: str = None,
+                             low_level_type: int = 0,
                              warm=None):
     """Scenario-batched closed-loop tick. Same semantics as
     `closed_loop_tick` vmapped over a leading scenario axis, EXCEPT the QP
@@ -294,7 +312,7 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
     v_fb = jax.vmap(
         lambda cs, raw, p: feedback_update(cs, raw, p, dt_ll,
                                            kf_type=kf_type))
-    v_ll = jax.vmap(lowlevel_update)
+    v_ll = jax.vmap(lambda cs, p: lowlevel_update(cs, p, low_level_type))
     v_sim = jax.vmap(lambda sim, tau, p: srb_sim.sim_step(sim, tau, p, dt_ll))
 
     cs = loop.controller

@@ -60,9 +60,15 @@ _PYR = ((0.0, 0.0, -1.0),
 
 
 def build_tasks(q, v, contact, grf_mpc, base_pos_des, base_euler_des,
-                foot_pos_des, foot_vel_des, model: wb.WbModel):
+                foot_pos_des, foot_vel_des, model: wb.WbModel,
+                base_lin_vel_des=None, base_eul_rate_des=None):
     """Assemble the three reference priority levels as HoTasks (contact-
-    dependent rows zero-masked so shapes stay static)."""
+    dependent rows zero-masked so shapes stay static).
+
+    base_lin_vel_des (3,) world / base_eul_rate_des (3,) ZYX rates: desired
+    base velocities for the tracking tier (the reference encodes them via
+    the centroidal dynamics of the desired state, wbc.cpp:196-201; zero
+    targets damp all base motion, which fights walking)."""
     dtype = q.dtype
     M = wb.mass_matrix(q, model)
     nle = wb.nonlinear_effects(q, v, model)
@@ -112,10 +118,16 @@ def build_tasks(q, v, contact, grf_mpc, base_pos_des, base_euler_des,
     task0 = hoqp.HoTask(A=A0, b=b0, D=D0, f=f0)
 
     # --- priority 1: base + swing tracking ---
+    if base_lin_vel_des is None:
+        base_lin_vel_des = jnp.zeros(3, dtype)
+    if base_eul_rate_des is None:
+        base_eul_rate_des = jnp.zeros(3, dtype)
     base_acc_des = (BASE_KP_POS.astype(dtype) * (base_pos_des - q[0:3])
-                    - BASE_KD_POS.astype(dtype) * v[0:3])
+                    + BASE_KD_POS.astype(dtype)
+                    * (base_lin_vel_des - v[0:3]))
     base_ang_des = (BASE_KP_ANG.astype(dtype) * (base_euler_des - q[3:6])
-                    - BASE_KD_ANG.astype(dtype) * v[3:6])
+                    + BASE_KD_ANG.astype(dtype)
+                    * (base_eul_rate_des - v[3:6]))
     A_base = jnp.concatenate([
         jnp.eye(6, dtype=dtype), jnp.zeros((6, N_X - 6), dtype)], axis=1)
     b_base = jnp.concatenate([base_acc_des, base_ang_des])
@@ -142,6 +154,7 @@ def build_tasks(q, v, contact, grf_mpc, base_pos_des, base_euler_des,
 
 def wbc_update(q, v, contact, grf_mpc, base_pos_des, base_euler_des,
                foot_pos_des, foot_vel_des, model: wb.WbModel, *,
+               base_lin_vel_des=None, base_eul_rate_des=None,
                ip_iters: int = 18):
     """One WBC solve through the inequality-constrained hierarchy.
 
@@ -154,9 +167,51 @@ def wbc_update(q, v, contact, grf_mpc, base_pos_des, base_euler_des,
     Returns (tau (12,), q_dd (18,), F (12,)).
     """
     tasks = build_tasks(q, v, contact, grf_mpc, base_pos_des,
-                        base_euler_des, foot_pos_des, foot_vel_des, model)
+                        base_euler_des, foot_pos_des, foot_vel_des, model,
+                        base_lin_vel_des=base_lin_vel_des,
+                        base_eul_rate_des=base_eul_rate_des)
     x = hoqp.hoqp_solve(tasks, N_X, iters=ip_iters)
     q_dd = x[0:18]
     F = x[18:30]
     tau = x[30:42]
     return tau, q_dd, F
+
+
+def wbc_from_controller(fbk, ctrl, model: wb.WbModel, *, ip_iters: int = 14):
+    """Adapter: controller feedback/targets -> WBC feedforward torques.
+
+    Mirrors the reference's state packing for `Wbc::update`
+    (reference: BaseInterface.cpp:502-557, wbc.cpp:49-57): generalized
+    coordinates [base pos, euler ZYX (yaw,pitch,roll), joints] with
+    euler-rate base angular velocity; desired base pose / swing targets /
+    GRFs come from the MPC's optimized_state / optimized_input packing.
+
+    Returns (tau (12,), F (12,)).
+    """
+    from legged_mpc_control_tpu.ops import so3
+
+    rpy = fbk.root_euler
+    q = jnp.concatenate([fbk.root_pos, rpy[::-1], fbk.joint_pos])
+    eul_rates = so3.euler_zyx_rates_from_omega_world(
+        rpy[2], rpy[1], fbk.root_ang_vel)
+    v = jnp.concatenate([fbk.root_lin_vel, eul_rates, fbk.joint_vel])
+
+    grf_mpc = ctrl.optimized_input[0:12].reshape(4, 3)
+    # xy position targets come through the commanded velocity (the MPC's
+    # root_pos_d carries only height, reference ConvexMpc.cpp:33-38) — hold
+    # height + attitude by position, track xy by velocity
+    base_pos_des = jnp.concatenate([fbk.root_pos[0:2],
+                                    ctrl.optimized_state[2:3]])
+    base_euler_des = ctrl.optimized_state[3:6][::-1]       # rpy -> zyx
+    base_lin_vel_des = fbk.root_rot_mat_z @ ctrl.root_lin_vel_d_rel
+    base_eul_rate_des = jnp.zeros(3, q.dtype).at[0].set(
+        ctrl.root_ang_vel_d_rel[2])
+    foot_pos_des = ctrl.optimized_state[6:18].reshape(4, 3)
+    foot_vel_des = ctrl.optimized_input[12:24].reshape(4, 3)
+
+    tau, _q_dd, F = wbc_update(
+        q, v, ctrl.plan_contacts, grf_mpc, base_pos_des, base_euler_des,
+        foot_pos_des, foot_vel_des, model,
+        base_lin_vel_des=base_lin_vel_des,
+        base_eul_rate_des=base_eul_rate_des, ip_iters=ip_iters)
+    return tau, F

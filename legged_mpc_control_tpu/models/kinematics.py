@@ -113,6 +113,56 @@ def ik(p, q_ref, rho_fix):
     return best
 
 
+# --- calibration surface (reference: A1Kinematics.h:21-35) ---
+# rho_opt = (cx, cy, cz): foot-contact offset expressed in the CALF frame —
+# the reference's generated d_fk_dc (A1Kinematics.cpp autoFunc_d_fk_dc) is
+# exactly Rx(q1) @ Ry(q2+q3), the calf-frame rotation. Where the reference
+# carries MATLAB-generated closed forms for the calibration derivatives
+# (A1Kinematics.cpp:39-53 note), here they are jax.jacfwd of one FK.
+
+
+def _calf_rot(q):
+    """Body-from-calf rotation Rx(q1) @ Ry(q2+q3)."""
+    q1, q23 = q[..., 0], q[..., 1] + q[..., 2]
+    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+    s, c = jnp.sin(q23), jnp.cos(q23)
+    zero = jnp.zeros_like(q1)
+    return jnp.stack([
+        jnp.stack([c, zero, s], axis=-1),
+        jnp.stack([s1 * s, c1, -s1 * c], axis=-1),
+        jnp.stack([-c1 * s, s1, c1 * c], axis=-1),
+    ], axis=-2)
+
+
+def fk_cal(q, rho_opt, rho_fix):
+    """FK with the calf-frame contact offset (reference fk with rho_opt)."""
+    return fk(q, rho_fix) + jnp.einsum("...ij,...j->...i",
+                                       _calf_rot(q), rho_opt)
+
+
+def jac_cal(q, rho_opt, rho_fix):
+    """d fk_cal / d q (3,3) (reference jac with rho_opt)."""
+    return jax.jacfwd(fk_cal)(q, rho_opt, rho_fix)
+
+
+def dfk_drho(q, rho_opt, rho_fix):
+    """d fk / d rho_opt (3,3) (reference dfk_drho = autoFunc_d_fk_dc)."""
+    return jax.jacfwd(fk_cal, argnums=1)(q, rho_opt, rho_fix)
+
+
+def dJ_dq(q, rho_opt, rho_fix):
+    """d vec(J) / d q (9,3), vec row-major over J's (row, col)
+    (reference dJ_dq; 9x3 layout documented here rather than Eigen's)."""
+    full = jax.jacfwd(jac_cal)(q, rho_opt, rho_fix)     # (3,3,3)
+    return full.reshape(9, 3)
+
+
+def dJ_drho(q, rho_opt, rho_fix):
+    """d vec(J) / d rho_opt (9,3) (reference dJ_drho)."""
+    full = jax.jacfwd(jac_cal, argnums=1)(q, rho_opt, rho_fix)
+    return full.reshape(9, 3)
+
+
 # Convenience per-robot vectorized forms (legs axis first).
 fk_legs = jax.vmap(fk, in_axes=(0, 0))          # (4,3),(4,5) -> (4,3)
 jac_legs = jax.vmap(jac, in_axes=(0, 0))        # -> (4,3,3)

@@ -100,6 +100,30 @@ def angvel_to_rpy_rate(yaw):
     ], axis=-2)
 
 
+def euler_zyx_rates_from_omega_world(yaw, pitch, omega_world):
+    """Exact ZYX euler-angle rates [dyaw, dpitch, droll] from the world
+    angular velocity (reference: wbc.cpp:53-55 uses OCS2's
+    getEulerAnglesZyxDerivativesFromGlobalAngularVelocity).
+
+    omega_world = T(yaw, pitch) @ rates with
+        T = [[0, -sin(yaw), cos(yaw)cos(pitch)],
+             [0,  cos(yaw), sin(yaw)cos(pitch)],
+             [1,  0,        -sin(pitch)       ]]
+    (columns: yaw about world z, pitch about the yawed y, roll about the
+    yawed+pitched x). Singular at pitch = +-pi/2 (gimbal lock), like the
+    reference's own mapping."""
+    sy, cy = jnp.sin(yaw), jnp.cos(yaw)
+    sp, cp = jnp.sin(pitch), jnp.cos(pitch)
+    z = jnp.zeros_like(sy)
+    o = jnp.ones_like(sy)
+    T = jnp.stack([
+        jnp.stack([z, -sy, cy * cp], axis=-1),
+        jnp.stack([z, cy, sy * cp], axis=-1),
+        jnp.stack([o, z, -sp], axis=-1),
+    ], axis=-2)
+    return jnp.linalg.solve(T, omega_world[..., None])[..., 0]
+
+
 def quat_mul(q1, q2):
     """Hamilton product of quaternions [w,x,y,z]."""
     w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]

@@ -47,7 +47,8 @@ def randomize_params(params: RobotParams, key, batch: int,
 def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
                          n_ticks=100, substeps=C.SUBSTEPS_PER_MPC_TICK,
                          pdip_iters=12, use_ground_truth=True, kf_type=None,
-                         walk_velx=0.0, solver="pdip", backend=None):
+                         walk_velx=0.0, solver="pdip", backend=None,
+                         low_level_type=0):
     """Returns rollout(loop_batch, params_batched) -> (final, diag).
 
     The scenario batch flows through `closed_loop_tick_batched`, so every
@@ -83,7 +84,7 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
             loop, warm = step_mod.closed_loop_tick_batched(
                 loop, params_b, pattern, horizon=horizon, substeps=substeps,
                 kf_type=kf_type, iters=pdip_iters, solver=solver,
-                backend=backend, warm=warm)
+                backend=backend, low_level_type=low_level_type, warm=warm)
             return (loop, warm), (loop.sim.pos, loop.sim.vel)
 
         (final, _), diag = jax.lax.scan(body, (loop, warm0), None,

@@ -89,3 +89,40 @@ def test_foot_velocity_consistency():
     h = 1e-7
     fd = (kin.fk(q + h * dq, rho) - kin.fk(q - h * dq, rho)) / (2 * h)
     np.testing.assert_allclose(np.asarray(v), np.asarray(fd), atol=1e-6)
+
+
+def test_calibration_derivatives():
+    """dfk_drho equals the reference's closed-form calf rotation
+    (reference: A1Kinematics.cpp autoFunc_d_fk_dc), and the jacfwd
+    derivatives agree with finite differences."""
+    rho_fix = jnp.array([0.1805, 0.047, 0.0838, 0.21, 0.21])
+    rho_opt = jnp.array([0.01, -0.005, 0.02])
+    q = jnp.array([0.12, 0.7, -1.4])
+
+    D = kin.dfk_drho(q, rho_opt, rho_fix)
+    q1, q23 = float(q[0]), float(q[1] + q[2])
+    s1, c1 = np.sin(q1), np.cos(q1)
+    s, c = np.sin(q23), np.cos(q23)
+    want = np.array([[c, 0.0, s],
+                     [s1 * s, c1, -s1 * c],
+                     [-c1 * s, s1, c1 * c]])
+    np.testing.assert_allclose(np.asarray(D), want, atol=1e-12)
+
+    # finite-difference checks of dJ_dq / dJ_drho
+    eps = 1e-6
+    J0 = np.asarray(kin.jac_cal(q, rho_opt, rho_fix))
+    dJq = np.asarray(kin.dJ_dq(q, rho_opt, rho_fix)).reshape(3, 3, 3)
+    dJr = np.asarray(kin.dJ_drho(q, rho_opt, rho_fix)).reshape(3, 3, 3)
+    for k in range(3):
+        Jp = np.asarray(kin.jac_cal(q.at[k].add(eps), rho_opt, rho_fix))
+        np.testing.assert_allclose(dJq[:, :, k], (Jp - J0) / eps, atol=1e-5)
+        Jp = np.asarray(kin.jac_cal(q, rho_opt.at[k].add(eps), rho_fix))
+        np.testing.assert_allclose(dJr[:, :, k], (Jp - J0) / eps, atol=1e-5)
+
+    # zero offset reduces to the plain analytic FK/J
+    np.testing.assert_allclose(
+        np.asarray(kin.fk_cal(q, jnp.zeros(3), rho_fix)),
+        np.asarray(kin.fk(q, rho_fix)), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(kin.jac_cal(q, jnp.zeros(3), rho_fix)),
+        np.asarray(kin.jac(q, rho_fix)), atol=1e-12)
