@@ -1,0 +1,199 @@
+"""Multi-host runtime: jax.distributed bootstrap + global scenario sweeps.
+
+The reference's scale-out fabric is ROS pub/sub + UDP on one machine
+(SURVEY.md §2.4); the TPU-native replacement is SPMD over a global
+(host, chip) mesh: `jax.distributed.initialize` brings up the process
+group, every host initializes only its addressable shard of the scenario
+batch, one jitted rollout runs data-parallel with XLA collectives riding
+ICI within a slice and DCN across hosts (metric reductions are `psum`s the
+compiler inserts from the replicated out-sharding).
+
+Deliverables covered (BASELINE.md): the 65,536-scenario multi-host sweep
+and the >=85%-at->=2-hosts scaling-efficiency measurement (weak scaling:
+fixed per-host load, efficiency = t_1host / t_Nhost).
+
+Tested without TPU pods via N CPU processes x
+--xla_force_host_platform_device_count virtual devices and Gloo
+collectives (tests/test_distributed.py), the same mechanism the JAX
+multi-host docs prescribe.
+"""
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from legged_mpc_control_tpu.config import RobotParams
+from legged_mpc_control_tpu.control import step as step_mod
+from legged_mpc_control_tpu.mpc import gait as gait_mod
+from legged_mpc_control_tpu.parallel import runner
+
+HOST_AXIS = "host"
+CHIP_AXIS = "chip"
+BATCH_SPEC = P((HOST_AXIS, CHIP_AXIS))
+
+
+def initialize(coordinator: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Bring up the jax.distributed process group.
+
+    Arguments default to the standard env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID); a no-op when num_processes <= 1 or
+    the group is already initialized.
+    """
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    if num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:              # already initialized
+        if "already initialized" not in str(e):
+            raise
+
+
+def global_mesh() -> Mesh:
+    """2-D (host, chip) mesh over every device in the job. jax.devices()
+    orders devices by process, so rows are hosts."""
+    devs = np.array(jax.devices())
+    n_hosts = jax.process_count()
+    return Mesh(devs.reshape(n_hosts, -1), (HOST_AXIS, CHIP_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, BATCH_SPEC)
+
+
+def device_sharded_loop(params: RobotParams, global_batch: int, key,
+                        mesh: Mesh, dtype=jnp.float32):
+    """Build the global scenario LoopState with each host initializing ONLY
+    its addressable shards (no host ever materializes the 65k batch).
+
+    Per-device shards are seeded by the device's global mesh position, so
+    the global batch is deterministic regardless of host count."""
+    devs = mesh.devices.reshape(-1)
+    ndev = devs.size
+    if global_batch % ndev:
+        raise ValueError(f"global_batch {global_batch} % {ndev} devices")
+    b_loc = global_batch // ndev
+
+    local_trees = []
+    local_devs = []
+    for gidx, d in enumerate(devs):
+        if d.process_index != jax.process_index():
+            continue
+        sub = runner.init_loop_batch(
+            params, b_loc, jax.random.fold_in(key, gidx), dtype=dtype)
+        local_trees.append(jax.device_put(sub, d))
+        local_devs.append(d)
+
+    def assemble(*leaves):
+        gshape = (global_batch,) + leaves[0].shape[1:]
+        spec = P((HOST_AXIS, CHIP_AXIS),
+                 *([None] * (leaves[0].ndim - 1)))
+        return jax.make_array_from_single_device_arrays(
+            gshape, NamedSharding(mesh, spec), list(leaves))
+
+    return jax.tree.map(assemble, *local_trees)
+
+
+def replicate_global(mesh: Mesh, tree):
+    """Replicate a (host-local) pytree onto every device of the global
+    mesh — each process supplies its own copy (values must agree)."""
+    def put(x):
+        x = np.asarray(x)
+        s = NamedSharding(mesh, P())
+        return jax.make_array_from_callback(x.shape, s,
+                                            lambda idx: x[idx])
+    return jax.tree.map(put, tree)
+
+
+def make_sweep(pattern: gait_mod.GaitPattern, mesh: Mesh, *, horizon=10,
+               n_ticks=10, pdip_iters=15, solver="pdip", backend=None,
+               walk_velx=0.25):
+    """Jitted global rollout + replicated metric reduction.
+
+    Returns sweep(loop_global, params_global) ->
+      (final LoopState, metrics dict of replicated scalars).
+    """
+    roll = runner.make_batched_rollout(
+        pattern, horizon=horizon, n_ticks=n_ticks, pdip_iters=pdip_iters,
+        solver=solver, backend=backend, walk_velx=walk_velx)
+
+    rep = NamedSharding(mesh, P())
+
+    @jax.jit
+    def metrics_of(final, diag):
+        pos, vel = diag
+        return {
+            "mean_height": jnp.mean(final.sim.pos[:, 2]),
+            "min_height": jnp.min(final.sim.pos[:, 2]),
+            "mean_dx": jnp.mean(final.sim.pos[:, 0]),
+            "mean_speed": jnp.mean(vel[-1][:, 0]),
+            "upright_frac": jnp.mean(
+                (final.sim.pos[:, 2] > 0.15).astype(jnp.float32)),
+        }
+
+    def sweep(loop, params):
+        final, diag = jax.jit(roll)(loop, params)
+        m = jax.jit(metrics_of, out_shardings=rep)(final, diag)
+        return final, {k: float(v) for k, v in m.items()}
+
+    return sweep
+
+
+def weak_scaling_report(pattern: gait_mod.GaitPattern,
+                        params: RobotParams, *, per_device_batch=64,
+                        horizon=10, n_ticks=5, pdip_iters=15,
+                        solver="pdip", backend=None, reps=3,
+                        dtype=jnp.float32):
+    """Weak-scaling efficiency: per-tick wall time with the SAME per-device
+    load on (a) this process's local devices only and (b) the full global
+    mesh. efficiency = t_local / t_global (1.0 = perfect; BASELINE target
+    >= 0.85 at >= 2 hosts).
+
+    Returns dict with timings + efficiency; every process reports the same
+    numbers (the global timing is collective).
+    """
+    results = {}
+    for scope in ("local", "global"):
+        if scope == "local":
+            devs = np.array(jax.local_devices())
+            mesh = Mesh(devs.reshape(1, -1), (HOST_AXIS, CHIP_AXIS))
+        else:
+            mesh = global_mesh()
+        ndev = mesh.devices.size
+        batch = per_device_batch * ndev
+        loop = device_sharded_loop(params, batch, jax.random.PRNGKey(0),
+                                   mesh, dtype=dtype)
+        params_g = replicate_global(mesh, params)
+        roll = jax.jit(runner.make_batched_rollout(
+            pattern, horizon=horizon, n_ticks=n_ticks,
+            pdip_iters=pdip_iters, solver=solver, backend=backend))
+        final, _ = roll(loop, params_g)
+        jax.block_until_ready(final)           # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            final, _ = roll(loop, params_g)
+        jax.block_until_ready(final)
+        results[scope] = (time.perf_counter() - t0) / (reps * n_ticks)
+
+    eff = results["local"] / results["global"]
+    return {
+        "hosts": jax.process_count(),
+        "devices_global": len(jax.devices()),
+        "per_device_batch": per_device_batch,
+        "tick_s_local": results["local"],
+        "tick_s_global": results["global"],
+        "weak_scaling_efficiency": eff,
+    }

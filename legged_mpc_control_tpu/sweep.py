@@ -1,0 +1,99 @@
+"""Multi-host scenario sweep driver (BASELINE: 65,536-scenario sweep).
+
+Run one process per host (SPMD — every process executes this same program):
+
+    JAX_COORDINATOR_ADDRESS=host0:1234 JAX_NUM_PROCESSES=4 \\
+    JAX_PROCESS_ID=$i python -m legged_mpc_control_tpu.sweep \\
+        --scenarios 65536 --ticks 10 --velx 0.25
+
+Prints one JSON line of replicated sweep metrics (identical on every host),
+plus an optional weak-scaling efficiency report (--report-efficiency).
+CPU testing: JAX_PLATFORMS=cpu with
+XLA_FLAGS=--xla_force_host_platform_device_count=N per process (Gloo
+collectives) — see tests/test_distributed.py.
+"""
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scenarios", type=int, default=65536)
+    ap.add_argument("--ticks", type=int, default=10)
+    ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--velx", type=float, default=0.25)
+    ap.add_argument("--robot", default="go1", choices=["a1", "go1"])
+    ap.add_argument("--solver", default="pdip", choices=["pdip", "admm"])
+    ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--report-efficiency", action="store_true")
+    ap.add_argument("--per-device-batch", type=int, default=64,
+                    help="weak-scaling load per device for the report")
+    args = ap.parse_args(argv)
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+
+    from legged_mpc_control_tpu.parallel import distributed as dist
+
+    dist.initialize()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
+    if args.f64:
+        jax.config.update("jax_enable_x64", True)
+
+    from legged_mpc_control_tpu.config import a1_params, go1_params
+    from legged_mpc_control_tpu.mpc import gait
+
+    dtype = jnp.float64 if args.f64 else jnp.float32
+    params = (a1_params if args.robot == "a1" else go1_params)(dtype)
+    pattern = gait.trot_pattern(dtype)
+
+    mesh = dist.global_mesh()
+    loop = dist.device_sharded_loop(params, args.scenarios,
+                                    jax.random.PRNGKey(0), mesh,
+                                    dtype=dtype)
+    params_g = dist.replicate_global(mesh, params)
+    sweep = dist.make_sweep(pattern, mesh, horizon=args.horizon,
+                            n_ticks=args.ticks, pdip_iters=args.iters,
+                            solver=args.solver, walk_velx=args.velx)
+
+    import time
+    t0 = time.perf_counter()
+    _final, metrics = sweep(loop, params_g)
+    wall = time.perf_counter() - t0
+
+    out = {
+        "scenarios": args.scenarios,
+        "hosts": jax.process_count(),
+        "devices": len(jax.devices()),
+        "ticks": args.ticks,
+        "wall_s": round(wall, 3),
+        "scenario_ticks_per_s": round(
+            args.scenarios * args.ticks / wall, 1),
+        **{k: round(v, 4) for k, v in metrics.items()},
+    }
+    if jax.process_index() == 0:
+        print(json.dumps(out), flush=True)
+
+    if args.report_efficiency:
+        rep = dist.weak_scaling_report(
+            pattern, params, per_device_batch=args.per_device_batch,
+            horizon=args.horizon, n_ticks=max(2, args.ticks // 2),
+            pdip_iters=args.iters, solver=args.solver, dtype=dtype)
+        if jax.process_index() == 0:
+            print(json.dumps({k: (round(v, 6) if isinstance(v, float)
+                                  else v) for k, v in rep.items()}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,95 @@
+"""Multi-host runtime: 2 CPU processes x 4 virtual devices, Gloo
+collectives, the real sweep driver end to end.
+
+This is the CI stand-in for a multi-host TPU pod (SURVEY §4: "multi-host
+tests over a CPU jax mesh (jax.distributed +
+xla_force_host_platform_device_count)").
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+_DRIVER = r"""
+import json, os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + port
+os.environ["JAX_NUM_PROCESSES"] = str(nproc)
+os.environ["JAX_PROCESS_ID"] = str(pid)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache-tests")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from legged_mpc_control_tpu.parallel import distributed as dist
+dist.initialize()
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 4 * nproc
+
+import jax.numpy as jnp
+from legged_mpc_control_tpu.config import a1_params
+from legged_mpc_control_tpu.mpc import gait
+
+dtype = jnp.float32
+params = a1_params(dtype)
+pattern = gait.trot_pattern(dtype)
+mesh = dist.global_mesh()
+assert mesh.devices.shape == (nproc, 4)
+
+loop = dist.device_sharded_loop(params, 16, jax.random.PRNGKey(0), mesh,
+                                dtype=dtype)
+assert loop.sim.pos.shape == (16, 3)
+params_g = dist.replicate_global(mesh, params)
+sweep = dist.make_sweep(pattern, mesh, horizon=5, n_ticks=3,
+                        pdip_iters=8, walk_velx=0.0)
+final, metrics = sweep(loop, params_g)
+print("METRICS" + str(pid) + " " + json.dumps(metrics), flush=True)
+assert metrics["upright_frac"] == 1.0, metrics
+assert 0.2 < metrics["mean_height"] < 0.4, metrics
+
+rep = dist.weak_scaling_report(pattern, params, per_device_batch=2,
+                               horizon=5, n_ticks=2, pdip_iters=6,
+                               reps=1, dtype=dtype)
+assert rep["hosts"] == nproc and rep["devices_global"] == 4 * nproc
+print("EFF" + str(pid) + " " + json.dumps(
+    {k: v for k, v in rep.items() if k != "weak_scaling_efficiency"}),
+    flush=True)
+print("OK" + str(pid), flush=True)
+"""
+
+
+def test_two_process_sweep():
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _DRIVER, str(pid), "2", port],
+            cwd=REPO, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=850)[0] for p in procs]
+    for pid, out in enumerate(outs):
+        assert f"OK{pid}" in out, f"proc {pid} failed:\n{out[-4000:]}"
+    # replicated metrics agree bit-for-bit across hosts
+    m0 = json.loads(outs[0].split("METRICS0 ")[1].splitlines()[0])
+    m1 = json.loads(outs[1].split("METRICS1 ")[1].splitlines()[0])
+    assert m0 == m1, (m0, m1)
