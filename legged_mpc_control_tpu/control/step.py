@@ -241,6 +241,50 @@ def closed_loop_tick(loop: LoopState, params: RobotParams,
     return LoopState(controller=cs, sim=sim)
 
 
+@partial(jax.jit, static_argnames=("stand_policy", "walk_policy",
+                                   "substeps", "kf_type",
+                                   "low_level_type"))
+def closed_loop_tick_lci(loop: LoopState, lci_state, params: RobotParams,
+                         stand_policy, walk_policy, t, *,
+                         substeps: int = C.SUBSTEPS_PER_MPC_TICK,
+                         kf_type: int = 0,
+                         low_level_type: int = 0):
+    """One closed-loop MPC period through the LCI-MPC backend
+    (reference: LciMpc::update in the MPC thread, LciMpc.cpp:45-153 +
+    main.cpp:113-121 mpc_type 0). Same structure as `closed_loop_tick`
+    with the convex QP replaced by the pluggable policy seam.
+
+    Returns (loop', lci_state')."""
+    from legged_mpc_control_tpu.mpc import lci_mpc
+
+    dt_mpc = C.MPC_DT
+    dt_ll = dt_mpc / substeps
+
+    cs = loop.controller
+    grf_normal = jnp.where(loop.sim.contact,
+                           _anchored_normal_force(loop, params), 0.0)
+    cs = feedback_update(cs, _sim_sensors(loop.sim, params, grf_normal),
+                         params, dt_ll, kf_type=kf_type)
+    cs, lci_state = lci_mpc.lci_mpc_tick(
+        cs, lci_state, stand_policy, walk_policy, t, dt_mpc)
+
+    def substep(carry, _):
+        cs, sim = carry
+        cs, tau, _safe = lowlevel_update(cs, params, low_level_type)
+        sim = srb_sim.sim_step(sim, tau, params, dt_ll)
+        grf_n = jnp.where(sim.contact,
+                          _anchored_normal_force(
+                              LoopState(controller=cs, sim=sim), params),
+                          0.0)
+        cs = feedback_update(cs, _sim_sensors(sim, params, grf_n), params,
+                             dt_ll, kf_type=kf_type)
+        return (cs, sim), None
+
+    (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
+                                length=substeps)
+    return LoopState(controller=cs, sim=sim), lci_state
+
+
 def default_backend() -> str:
     """Solver backend for the batched QP kernels: Pallas batch-in-lanes
     Cholesky on TPU, XLA linalg elsewhere (CPU tests / f64 oracles)."""

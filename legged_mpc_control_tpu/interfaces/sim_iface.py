@@ -25,24 +25,50 @@ from legged_mpc_control_tpu.sim import srb_sim
 class SimInterface(BaseInterface):
     def __init__(self, params: RobotParams, pattern=None, *,
                  dtype=jnp.float32, height=0.3, body_height=0.3,
-                 horizon=10, kf_type=0, pdip_iters=15):
+                 horizon=10, kf_type=0, pdip_iters=15, mpc_type="convex",
+                 low_level_type=0, walk_velx=0.25):
         self.params = params
         self.pattern = pattern or gait_mod.trot_pattern(dtype)
         self.horizon = horizon
         self.kf_type = kf_type
         self.pdip_iters = pdip_iters
+        self.mpc_type = mpc_type
+        self.low_level_type = low_level_type
+        self.t = 0.0
         self.loop = step_mod.LoopState(
             controller=step_mod.controller_init(params, dtype=dtype,
                                                 body_height=body_height),
             sim=srb_sim.sim_init(params, height=height, dtype=dtype))
+        if mpc_type == "lci":
+            # LCI backend: stand + walk policies through the pluggable
+            # seam (reference: main.cpp:113-121 mpc_type 0)
+            from legged_mpc_control_tpu.mpc import lci_mpc
+
+            self.lci = lci_mpc.lci_init(dtype=dtype)
+            self._stand_policy = lci_mpc.make_stand_policy(
+                params, body_height=body_height)
+            self._walk_policy = lci_mpc.make_walk_policy(
+                params, velx=walk_velx, body_height=body_height)
 
     def tick(self, n: int = 1):
         """Advance n MPC periods fully on device."""
+        from legged_mpc_control_tpu import constants as C
+
         for _ in range(n):
-            self.loop = step_mod.closed_loop_tick(
-                self.loop, self.params, self.pattern,
-                horizon=self.horizon, kf_type=self.kf_type,
-                pdip_iters=self.pdip_iters)
+            if self.mpc_type == "lci":
+                self.loop, self.lci = step_mod.closed_loop_tick_lci(
+                    self.loop, self.lci, self.params,
+                    self._stand_policy, self._walk_policy,
+                    jnp.asarray(self.t, self.loop.sim.pos.dtype),
+                    kf_type=self.kf_type,
+                    low_level_type=self.low_level_type)
+            else:
+                self.loop = step_mod.closed_loop_tick(
+                    self.loop, self.params, self.pattern,
+                    horizon=self.horizon, kf_type=self.kf_type,
+                    low_level_type=self.low_level_type,
+                    pdip_iters=self.pdip_iters)
+            self.t += C.MPC_DT
         return self.loop
 
     # --- BaseInterface parity surface ---

@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--config", default=None,
                    help="YAML variant file (configs/*.yaml); overrides "
                         "--robot and parameter defaults")
+    p.add_argument("--low-level", type=int, choices=[0, 1], default=0,
+                   dest="low_level",
+                   help="low_level_type: 0 J^T tau control, 1 hierarchical "
+                        "WBC (reference: LeggedState.h:149)")
     p.add_argument("--horizon", type=int, default=10)
     p.add_argument("--seconds", type=float, default=2.0)
     p.add_argument("--height", type=float, default=0.3)
@@ -82,8 +86,8 @@ def main(argv=None):
               file=sys.stderr)
         return 1
     if args.mpc == "lci":
-        print("note: LCI-MPC runs through the pluggable policy seam "
-              "(mpc/lci_mpc.py); using the built-in stand policy")
+        print("LCI-MPC backend: built-in stand + trot-walk policies "
+              "through the pluggable policy seam (mpc/lci_mpc.py)")
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.config:
@@ -101,7 +105,9 @@ def main(argv=None):
 
     iface = SimInterface(params, pattern, dtype=dtype, height=args.height,
                          body_height=args.height, horizon=args.horizon,
-                         kf_type=args.kf)
+                         kf_type=args.kf, mpc_type=args.mpc,
+                         low_level_type=args.low_level,
+                         walk_velx=(args.velx or 0.25))
     n_ticks = int(args.seconds / C.MPC_DT)
     records = []
     t0 = time.perf_counter()

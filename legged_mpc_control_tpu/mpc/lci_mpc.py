@@ -114,6 +114,127 @@ def lci_mpc_tick(state: ControllerState, lci: LciState,
                          mpc_inited=jnp.ones((), dtype=bool)), new_lci
 
 
+def make_walk_policy(params: RobotParams, velx=0.25, body_height=0.3,
+                     gait_freq=None, swing_clearance=0.08,
+                     horizon=8, dt_plan=0.02, qp_iters=12,
+                     fz_min=5.0) -> PolicyFn:
+    """Built-in trot WALK policy for the LCI slot (reference: p_walk,
+    LciMpc.cpp:95-104 — the Julia engine is an empty submodule there; this
+    is the framework's own jittable walking policy filling the seam).
+
+    A distilled convex-MPC policy: the policy's internal trot clock (driven
+    purely by the policy time, exactly like the reference's Julia policies)
+    produces a predicted contact schedule, and the GRFs come from a
+    short-horizon SRB QP solved with the framework's interior-point solver
+    over that schedule — horizon prediction stabilizes the two-feet tipping
+    mode that a quasi-static wrench distribution cannot. Swing feet track a
+    Bezier arc toward a Raibert foothold. Swing foot velocity targets are
+    zero — faithfully matching the reference's Bezier, whose velocity
+    output is always zero (reference: Utils.cpp:179-192).
+    """
+    from legged_mpc_control_tpu.control import raibert
+    from legged_mpc_control_tpu.mpc import pdip, qp_builder, reference
+    from legged_mpc_control_tpu.ops import bezier, so3
+
+    if gait_freq is None:
+        # match the convex path's trot rate (reference:
+        # gazebo_a1_convex.yaml gait_counter_speed = 3.5 cycles/s) — slower
+        # trots leave the body on two diagonal feet long enough to tip
+        gait_freq = float(params.gait_counter_speed)
+
+    def policy(x, t):
+        dtype = x.dtype
+        pos, euler = x[0:3], x[3:6]
+        foot_abs = x[6:18].reshape(4, 3)       # CoM-origin world axes
+        v, omega = x[18:21], x[21:24]
+        foot_force = x[36:40]                  # measured normal forces
+
+        # --- internal trot clock (legs FL,RR vs FR,RL) ---
+        phase = (t * gait_freq) % 1.0
+        leg_phase = jnp.mod(
+            phase + jnp.array([0.0, 0.5, 0.5, 0.0], dtype), 1.0)
+        contact = (leg_phase < 0.5).astype(dtype)           # (4,)
+        # a clock-stance foot only counts as support once it actually
+        # carries force (late-touchdown handling — the convex path's FSM
+        # does this with its early-contact transition,
+        # reference: LeggedContactFSM.cpp:61-66)
+        grounded = (foot_force > 2.0).astype(dtype)
+        support = contact * grounded
+        # complete the arc by 75% of swing so the foot has tracking margin
+        # to actually touch down before the clock flips it to stance
+        swing_s = jnp.clip((leg_phase - 0.5) * 2.0 / 0.75, 0.0, 1.0)
+
+        # --- GRFs: short-horizon SRB QP over the clock's future schedule ---
+        yaw = euler[2]
+        Rz = so3.rot_z(yaw)
+        R = so3.quat_to_rotmat(so3.euler_to_quat(euler))
+        v_d = Rz @ jnp.array([velx, 0.0, 0.0], dtype)
+        pos_des = jnp.array([pos[0], pos[1], body_height], dtype)
+        eul_des = jnp.array([0.0, 0.0, yaw], dtype)
+        cmd = reference.MpcCmd(
+            root_pos_d=jnp.array([0.0, 0.0, body_height], dtype),
+            root_euler_d=jnp.zeros(3, dtype).at[2].set(yaw),
+            root_lin_vel_d_rel=jnp.array([velx, 0.0, 0.0], dtype),
+            root_ang_vel_d_rel=jnp.zeros(3, dtype))
+        x_ref, yaw_ref, _ = reference.build_reference(
+            euler, pos, R, cmd, horizon, dt_plan)
+        A_seq, Bm = reference.build_linearization(
+            yaw_ref, params.mass, params.trunk_inertia, R, foot_abs,
+            dt_plan)
+        ks = jnp.arange(horizon, dtype=dtype) * dt_plan
+        phase_k = jnp.mod((t + ks)[:, None] * gait_freq
+                          + jnp.array([0.0, 0.5, 0.5, 0.0], dtype)[None, :],
+                          1.0)
+        sched = (phase_k < 0.5).astype(dtype)               # (H,4)
+        sched = sched.at[0].set(support)   # now: actually-loaded feet only
+        x0 = jnp.concatenate([euler, pos, omega, v])
+        qp = qp_builder.build_condensed_qp(
+            x0, x_ref, A_seq, Bm, sched, params.q_weights,
+            params.r_weights, params.mu, params.fz_max, dt_plan)
+        res = pdip.solve_qp_pdip(qp.P, qp.q, qp.mu, qp.fz_max,
+                                 contact=sched, iters=qp_iters)
+        grf = res.u[0:12]
+        grf = jnp.where(jnp.any(jnp.isnan(grf)), jnp.zeros_like(grf), grf)
+        u = grf.reshape(4, 3) * support[:, None]
+        # bootstrap load on clock-stance feet not yet registering force:
+        # the foot-force estimate comes from the commanded feedforward, so
+        # an unloaded foot must be commanded INTO the ground before the
+        # support detector can ever see it
+        boot = (contact * (1.0 - grounded))[:, None] \
+            * jnp.array([0.0, 0.0, 2.0 * fz_min], dtype)[None, :]
+        u = (u + boot).reshape(-1)
+
+        # --- swing: Bezier arc from the current foot to the foothold ---
+        target_abs, _ = raibert.raibert_footholds(
+            pos, v, Rz, jnp.array([velx, 0.0, 0.0], dtype), params)
+        foot_world = foot_abs + pos[None, :]
+        target_world = target_abs + pos[None, :]
+        # aim marginally below ground so the PD actually loads the foot
+        target_world = target_world.at[:, 2].set(-0.01)
+        arc = jax.vmap(
+            lambda s, p0, p1: bezier.swing_foot_pos(s, p0, p1))(
+            swing_s, foot_world, target_world)
+        arc = arc.at[:, 2].add(swing_clearance
+                               * jnp.sin(jnp.pi * swing_s))
+        # clock-stance feet: hold position once grounded; push straight
+        # down at the current xy while still airborne (a "hold in the air"
+        # target would never load the foot)
+        push_down = foot_world.at[:, 2].set(-0.01)
+        stance_tgt = jnp.where(grounded[:, None] > 0.5, foot_world,
+                               push_down)
+        foot_tgt = jnp.where(contact[:, None] > 0.5, stance_tgt, arc)
+
+        state_des = jnp.concatenate([
+            pos_des, eul_des, foot_tgt.reshape(-1)])
+        vel_des = jnp.concatenate([v_d, jnp.zeros(3, dtype),
+                                   jnp.zeros(12, dtype)])
+        state_ref = state_des
+        vel_ref = jnp.zeros(12, dtype)
+        return jnp.concatenate([u, state_des, vel_des, state_ref, vel_ref])
+
+    return policy
+
+
 def make_stand_policy(params: RobotParams, body_height=0.3,
                       kp=jnp.asarray([120.0, 120.0, 200.0]),
                       kd=jnp.asarray([20.0, 20.0, 30.0])) -> PolicyFn:

@@ -22,10 +22,14 @@ solved by a time-varying LQR Riccati sweep: O(H * 12^3) work, H small
 The dual residual is evaluated stagewise via a forward rollout + backward
 adjoint, so the dense P / S matrices are never materialized at any horizon.
 
-All stage algebra is batch-leading (B, 12, 12) einsums; the tiny
-factorizations use the fully-unrolled Cholesky (ops/small_chol.py) — no XLA
-library custom-calls anywhere on the hot path. Produces iterates identical
-(up to roundoff) to pdip.solve_qp_pdip_batched on the condensed QP.
+TPU layout: all stage algebra runs BATCH-IN-LANES — tensors are
+(..., 12, 12, B) with the scenario batch on the minor (lane) axis, and
+every 12x12 matrix product / Cholesky step is hand-unrolled into (12, B) or
+(12, 12, B) elementwise VPU ops that XLA fuses. A `dot_general` / library
+formulation of these batched-tiny contractions pads each 12x12 operand onto
+128x128 MXU tiles (or hits the slow batched library calls) and runs an
+order of magnitude slower. Produces iterates identical (up to roundoff) to
+pdip.solve_qp_pdip_batched on the condensed QP.
 """
 
 from functools import partial as _partial
@@ -38,20 +42,102 @@ from legged_mpc_control_tpu.constants import GRAVITY
 from legged_mpc_control_tpu.mpc.pdip import (
     N_CON_PER_LEG,
     PdipResult,
-    _bmu,
     _g_apply,
     _gt_apply,
     _gtdg_blocks,
     _h_vec,
 )
-from legged_mpc_control_tpu.ops import small_chol as sc
 
-_einsum = _partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+NX = 12
 
 
-def _bc12(w):
-    """(B,12) diag -> broadcastable against (B,12,12) rows."""
-    return w[..., None]
+# --- batch-in-lanes small-matrix algebra -----------------------------------
+# Operands are (..., n, n, B) / (..., n, B); the loops below unroll the tiny
+# contraction dimension so each term is a broadcasted elementwise FMA over
+# the lane axis. n is static and small (12).
+
+def _mm(A, C):
+    """A @ C, both (..., n, n, B)."""
+    n = A.shape[-2]
+    acc = A[..., :, 0, :][..., :, None, :] * C[..., 0, :, :][..., None, :, :]
+    for j in range(1, n):
+        acc = acc + (A[..., :, j, :][..., :, None, :]
+                     * C[..., j, :, :][..., None, :, :])
+    return acc
+
+
+def _mtm(A, C):
+    """A^T @ C, both (..., n, n, B)."""
+    n = A.shape[-3]
+    acc = A[..., 0, :, :][..., :, None, :] * C[..., 0, :, :][..., None, :, :]
+    for j in range(1, n):
+        acc = acc + (A[..., j, :, :][..., :, None, :]
+                     * C[..., j, :, :][..., None, :, :])
+    return acc
+
+
+def _mv(A, x):
+    """A @ x: (..., n, n, B), (..., n, B) -> (..., n, B)."""
+    n = A.shape[-2]
+    acc = A[..., :, 0, :] * x[..., 0, :][..., None, :]
+    for j in range(1, n):
+        acc = acc + A[..., :, j, :] * x[..., j, :][..., None, :]
+    return acc
+
+
+def _mtv(A, x):
+    """A^T @ x: (..., n, n, B), (..., n, B) -> (..., n, B)."""
+    n = A.shape[-3]
+    acc = A[..., 0, :, :] * x[..., 0, :][..., None, :]
+    for j in range(1, n):
+        acc = acc + A[..., j, :, :] * x[..., j, :][..., None, :]
+    return acc
+
+
+def _chol_lanes(A):
+    """Lower Cholesky of (n, n, B) SPD, fully unrolled (n static, small).
+    Returns rows as a python list-of-lists of (B,) lane vectors plus the
+    stacked (n, n, B) tensor (for scan carries)."""
+    n = A.shape[0]
+    rows = [[None] * n for _ in range(n)]
+    for j in range(n):
+        d = A[j, j]
+        for k in range(j):
+            d = d - rows[j][k] * rows[j][k]
+        dj = jnp.sqrt(d)
+        rows[j][j] = dj
+        inv = 1.0 / dj
+        for i in range(j + 1, n):
+            v = A[i, j]
+            for k in range(j):
+                v = v - rows[i][k] * rows[j][k]
+            rows[i][j] = v * inv
+    zero = jnp.zeros_like(A[0, 0])
+    Lt = jnp.stack([jnp.stack([rows[i][j] if j <= i else zero
+                               for j in range(n)]) for i in range(n)])
+    return Lt
+
+
+def _cho_solve_lanes(L, M):
+    """Solve (L L^T) Y = M with L (n, n, B) lower, M (n, m, B) or (n, B)."""
+    vec = M.ndim == 2
+    if vec:
+        M = M[:, None, :]
+    n = L.shape[0]
+    ys = []
+    for i in range(n):
+        acc = M[i]
+        for k in range(i):
+            acc = acc - L[i, k][None, :] * ys[k]
+        ys.append(acc / L[i, i][None, :])
+    zs = [None] * n
+    for i in range(n - 1, -1, -1):
+        acc = ys[i]
+        for k in range(i + 1, n):
+            acc = acc - L[k, i][None, :] * zs[k]
+        zs[i] = acc / L[i, i][None, :]
+    out = jnp.stack(zs)
+    return out[:, 0, :] if vec else out
 
 
 def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
@@ -83,135 +169,131 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
     reg = 1e-11 if dtype == jnp.float64 else 1e-6
     eps = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-20, dtype)
 
-    qw = jnp.broadcast_to(jnp.asarray(q_weights, dtype), (B, 12))
-    rw = jnp.broadcast_to(jnp.asarray(r_weights, dtype), (B, 12))
+    qw = jnp.broadcast_to(jnp.asarray(q_weights, dtype), (B, NX)).T  # (12,B)
+    rw = jnp.broadcast_to(jnp.asarray(r_weights, dtype), (B, NX)).T
 
     legmask = jnp.repeat(contact, 3, axis=-1)              # (B,H,12)
-    B_seq = Bmat[:, None] * legmask[:, :, None, :]         # (B,H,12,12)
-    d_aff = jnp.zeros((12,), dtype).at[11].set(-GRAVITY * dt)
+    d_aff = jnp.zeros((NX, 1), dtype).at[11, 0].set(-GRAVITY * dt)
 
     h = jnp.broadcast_to(_h_vec(H, fz_max, dtype), (B, H, 4, 6))
 
-    # stage-major views for scans
-    A_t = jnp.swapaxes(A_seq, 0, 1)                        # (H,B,12,12)
-    B_t = jnp.swapaxes(B_seq, 0, 1)
+    # lanes-layout stage data: (H, 12, 12, B)
+    A_t = A_seq.transpose(1, 2, 3, 0)
+    B_t = (Bmat[:, None] * legmask[:, :, None, :]).transpose(1, 2, 3, 0)
+    xref_t = x_ref.transpose(1, 2, 0)                      # (H,12,B)
+    x0_t = x0.T                                            # (12,B)
+    eyeNX = jnp.eye(NX, dtype=dtype)
 
-    def Gdot(u):                                           # u (B,H,12)
+    def Gdot(u_t):                                         # u_t (H,12,B)
+        u = u_t.transpose(2, 0, 1)                         # (B,H,12)
         return _g_apply(u.reshape(B, H, 4, 3), mu)
 
     def GTdot(w):                                          # (B,H,4,6)
-        return _gt_apply(w, mu).reshape(B, H, 12)
+        return _gt_apply(w, mu).reshape(B, H, NX).transpose(1, 2, 0)
 
-    def rollout(u):
-        """x_1..x_H from x0 under the stage dynamics. (B,H,12)."""
-        u_t = jnp.swapaxes(u, 0, 1)                        # (H,B,12)
-
+    def rollout(u_t):
+        """x_1..x_H from x0 under the stage dynamics. (H,12,B)."""
         def step(x, inp):
             Ak, Bk, uk = inp
-            xn = (_einsum("bij,bj->bi", Ak, x)
-                  + _einsum("bij,bj->bi", Bk, uk) + d_aff)
+            xn = _mv(Ak, x) + _mv(Bk, uk) + d_aff
             return xn, xn
 
-        _, X = jax.lax.scan(step, x0, (A_t, B_t, u_t))
-        return jnp.swapaxes(X, 0, 1)
+        _, X = jax.lax.scan(step, x0_t, (A_t, B_t, u_t))
+        return X
 
-    def adjoint(qx):
-        """psi_k = qx_k + A_{k+1}^T psi_{k+1}; returns (B,H,12).
-        qx: (B,H,12) gradients at x_{k+1}."""
-        qx_t = jnp.swapaxes(qx, 0, 1)
-
-        def step(p, inp):
-            Ak1, qk = inp                # A_{k+1} paired with stage k
-            pk = qk + _einsum("bji,bj->bi", Ak1, p)
-            return pk, pk
-
-        # stage k uses A_{k+1}; pad the last with zeros
+    def adjoint(qx_t):
+        """psi_k = qx_k + A_{k+1}^T psi_{k+1}. qx_t, out: (H,12,B)."""
         A_next = jnp.concatenate(
             [A_t[1:], jnp.zeros_like(A_t[:1])], axis=0)
-        _, psi = jax.lax.scan(step, jnp.zeros((B, 12), dtype),
+
+        def step(p, inp):
+            Ak1, qk = inp
+            pk = qk + _mtv(Ak1, p)
+            return pk, pk
+
+        _, psi = jax.lax.scan(step, jnp.zeros((NX, B), dtype),
                               (A_next[::-1], qx_t[::-1]))
-        return jnp.swapaxes(psi[::-1], 0, 1)
+        return psi[::-1]
 
     def factor(Hu_t):
-        """Riccati factor sweep. Hu_t: (H,B,12,12) input Hessians.
-        Returns per-stage caches (L, K, Hux) stage-major."""
+        """Riccati factor sweep. Hu_t: (H,12,12,B).
+        Returns stage-major caches (L, K, Hux), each (H,12,12,B)."""
+        qdiag = eyeNX[:, :, None] * qw[:, None, :]          # (12,12,B)
 
         def step(Pn, inp):
             Ak, Bk, Huk = inp
-            # W = Q + P'_{k+1}: fold the state cost at x_{k+1}
-            W = Pn.at[..., jnp.arange(12), jnp.arange(12)].add(qw)
-            BW = _einsum("bji,bjk->bik", Bk, W)            # B^T W
-            Huu = Huk + _einsum("bik,bkj->bij", BW, Bk)
-            Hux = _einsum("bik,bkj->bij", BW, Ak)
-            L = sc.chol_small(Huu)
-            K = -sc.cho_solve_small(L, Hux)                # (B,12,12)
-            AW = _einsum("bji,bjk->bik", Ak, W)
-            Pk = (_einsum("bik,bkj->bij", AW, Ak)
-                  + _einsum("bki,bkj->bij", Hux, K))
-            Pk = 0.5 * (Pk + jnp.swapaxes(Pk, -1, -2))
+            W = Pn + qdiag                                  # Q + P'_{k+1}
+            BW = _mtm(Bk, W)
+            Huu = Huk + _mm(BW, Bk)
+            Hux = _mm(BW, Ak)
+            L = _chol_lanes(Huu)
+            K = -_cho_solve_lanes(L, Hux)
+            Pk = _mm(_mtm(Ak, W), Ak) + _mtm(Hux, K)
+            Pk = 0.5 * (Pk + jnp.swapaxes(Pk, 0, 1))
             return Pk, (L, K, Hux)
 
-        P0 = jnp.zeros((B, 12, 12), dtype)
+        P0 = jnp.zeros((NX, NX, B), dtype)
         _, caches = jax.lax.scan(step, P0,
                                  (A_t[::-1], B_t[::-1], Hu_t[::-1]))
         return jax.tree.map(lambda c: c[::-1], caches)
 
-    def lqr_solve(caches, g):
-        """du = -K^{-1} g via one backward + one forward linear sweep.
-        g: (B,H,12). Returns (B,H,12)."""
+    def lqr_solve(caches, g_t):
+        """du = -K^{-1} g: one backward + one forward linear sweep.
+        g_t, out: (H,12,B)."""
         L_t, K_t, Hux_t = caches
-        g_t = jnp.swapaxes(g, 0, 1)
 
         def back(p, inp):
             Ak, Bk, Lk, Huxk, gk = inp
-            gtot = gk + _einsum("bji,bj->bi", Bk, p)
-            kff = -sc.cho_solve_small(Lk, gtot[..., None])[..., 0]
-            pk = (_einsum("bji,bj->bi", Ak, p)
-                  + _einsum("bki,bk->bi", Huxk, kff))
+            gtot = gk + _mtv(Bk, p)
+            kff = -_cho_solve_lanes(Lk, gtot)
+            pk = _mtv(Ak, p) + _mtv(Huxk, kff)
             return pk, kff
 
         _, kff_t = jax.lax.scan(
-            back, jnp.zeros((B, 12), dtype),
+            back, jnp.zeros((NX, B), dtype),
             (A_t[::-1], B_t[::-1], L_t[::-1], Hux_t[::-1], g_t[::-1]))
         kff_t = kff_t[::-1]
 
         def fwd(dx, inp):
             Ak, Bk, Kk, kffk = inp
-            du = kffk + _einsum("bij,bj->bi", Kk, dx)
-            dxn = (_einsum("bij,bj->bi", Ak, dx)
-                   + _einsum("bij,bj->bi", Bk, du))
+            du = kffk + _mv(Kk, dx)
+            dxn = _mv(Ak, dx) + _mv(Bk, du)
             return dxn, du
 
-        _, du_t = jax.lax.scan(fwd, jnp.zeros((B, 12), dtype),
+        _, du_t = jax.lax.scan(fwd, jnp.zeros((NX, B), dtype),
                                (A_t, B_t, K_t, kff_t))
-        return jnp.swapaxes(du_t, 0, 1)
+        return du_t
+
+    def dual_residual(u_t, lam):
+        X = rollout(u_t)
+        psi = adjoint(qw[None] * (X - xref_t))
+        return u_t * rw[None] + GTdot(lam) + _mtv(B_t, psi)
 
     # --- initialization (mirrors pdip.py) ---
-    u = jnp.zeros((B, H, 12), dtype=dtype)
+    u = jnp.zeros((H, NX, B), dtype=dtype)
     s = jnp.maximum(h - Gdot(u), 1.0)
     lam = jnp.ones_like(s)
-    eye12 = jnp.eye(12, dtype=dtype)
 
     def body(carry, _):
         u, s, lam, done = carry
-        X = rollout(u)                                     # (B,H,12)
-        qx = qw[:, None, :] * (X - x_ref)                  # (B,H,12)
-        psi = adjoint(qx)
-        r_dual = (u * rw[:, None, :] + GTdot(lam)
-                  + _einsum("bhji,bhj->bhi", B_seq, psi))  # B^T psi
-        r_prim = Gdot(u) + s - h
-        mu_gap = jnp.sum(s * lam, axis=(1, 2, 3)) / m
+        r_dual = dual_residual(u, lam)                     # (H,12,B)
+        r_prim = Gdot(u) + s - h                           # (B,H,4,6)
+        mu_gap = jnp.sum(s * lam, axis=(1, 2, 3)) / m      # (B,)
 
         dscale = jnp.clip(lam / jnp.maximum(s, eps), 0.0, d_max)
         blocks = _gtdg_blocks(dscale, mu)                  # (B,H,4,3,3)
-        # Hu_k = diag(r) + blockdiag(G^T D G) + reg I, (B,H,12,12)
-        Hu = jnp.zeros((B, H, 12, 12), dtype)
-        Hu = Hu.at[..., jnp.arange(12), jnp.arange(12)].set(
-            rw[:, None, :] + reg)
+        # Hu_k = diag(r) + blockdiag(G^T D G) + reg I as (H,12,12,B):
+        # embed the (B,H,4,3,3) leg blocks with a (12,12)->(4,3,3) one-hot
+        blk_t = blocks.transpose(1, 2, 3, 4, 0)            # (H,4,3,3,B)
+        embed = jnp.zeros((4, 3, 3, NX, NX), dtype)
         for leg in range(4):
-            sl = slice(3 * leg, 3 * leg + 3)
-            Hu = Hu.at[..., sl, sl].add(blocks[:, :, leg])
-        caches = factor(jnp.swapaxes(Hu, 0, 1))
+            for i in range(3):
+                for j in range(3):
+                    embed = embed.at[leg, i, j,
+                                     3 * leg + i, 3 * leg + j].set(1.0)
+        Hu = jnp.einsum("hlijb,lijmn->hmnb", blk_t, embed)
+        Hu = Hu + eyeNX[:, :, None] * (rw[:, None, :] + reg)
+        caches = factor(Hu)
 
         def solve_dir(rc):
             w = (lam * r_prim - rc) / jnp.maximum(s, eps)
@@ -226,6 +308,11 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
             ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0),
                               jnp.inf)
             return jnp.minimum(1.0, jnp.min(ratio.reshape(B, -1), axis=-1))
+
+        def max_step_u(v, dv):                             # (H,12,B) lanes
+            ratio = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0),
+                              jnp.inf)
+            return jnp.minimum(1.0, jnp.min(ratio, axis=(0, 1)))
 
         def bc(x):
             return x[:, None, None, None]
@@ -245,13 +332,13 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
 
         conv = (mu_gap < tol) & (
             jnp.max(jnp.abs(r_prim.reshape(B, -1)), axis=-1) < 1e3 * tol)
-        bad = ~(jnp.all(jnp.isfinite(du.reshape(B, -1)), axis=-1)
+        bad = ~(jnp.all(jnp.isfinite(du), axis=(0, 1))
                 & jnp.all(jnp.isfinite(ds.reshape(B, -1)), axis=-1)
                 & jnp.all(jnp.isfinite(dlam.reshape(B, -1)), axis=-1))
         done = done | conv | bad
-        dn = done[:, None, None]
+        dn_u = done[None, None, :]
         dn4 = bc(done)
-        u2 = jnp.where(dn, u, u + a_p[:, None, None] * du)
+        u2 = jnp.where(dn_u, u, u + a_p[None, None, :] * du)
         s2 = jnp.where(dn4, s, s + bc(a_p) * ds)
         lam2 = jnp.where(dn4, lam, lam + bc(a_d) * dlam)
         return (u2, s2, lam2, done), None
@@ -261,12 +348,10 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
         body, (u, s, lam, done0), None, length=iters)
 
     # exact swing-leg zeroing (see pdip.py)
-    u = u * legmask
+    u = u * legmask.transpose(1, 2, 0)
     gap = jnp.sum(s * lam, axis=(1, 2, 3)) / m
-    X = rollout(u)
-    psi = adjoint(qw[:, None, :] * (X - x_ref))
-    r_dual = jnp.max(jnp.abs(
-        u * rw[:, None, :] + GTdot(lam)
-        + _einsum("bhji,bhj->bhi", B_seq, psi)).reshape(B, -1), axis=-1)
-    return PdipResult(u=u.reshape(B, H * 12), gap=gap, r_dual=r_dual,
+    r_dual_t = dual_residual(u, lam)                       # (H,12,B)
+    r_dual = jnp.max(jnp.abs(r_dual_t), axis=(0, 1))
+    u_out = u.transpose(2, 0, 1).reshape(B, H * NX)
+    return PdipResult(u=u_out, gap=gap, r_dual=r_dual,
                       iters=jnp.asarray(iters))
