@@ -81,7 +81,7 @@ def bench_closed_loop(backend, batch=4096, horizon=10, n_ticks=10,
     pattern = gait.trot_pattern(dtype)
     roll = jax.jit(runner.make_batched_rollout(
         pattern, horizon=horizon, n_ticks=n_ticks, pdip_iters=iters,
-        solver="pdip", backend=backend, walk_velx=0.25))
+        solver="riccati", backend=backend, walk_velx=0.25))
     variants = [(runner.init_loop_batch(params, batch, jax.random.PRNGKey(k),
                                         dtype=dtype), params)
                 for k in range(2)]
@@ -147,6 +147,8 @@ def main():
     backend = ("pallas" if jax.default_backend() not in ("cpu",)
                else "xla")
 
+    solver = "riccati" if backend == "pallas" else backend
+
     # --- secondary metrics (headline last) ---
     try:
         v = bench_closed_loop(backend)
@@ -158,7 +160,7 @@ def main():
                           "error": repr(e)}), flush=True)
 
     try:
-        v = bench_throughput(ge, backend, horizon=30, batch=4096)
+        v = bench_throughput(ge, solver, horizon=30, batch=4096)
         emit("convex_mpc_solves_per_s_per_chip_go1_trot_h30", v,
              "solves/s", v / 10000.0)
     except Exception as e:              # pragma: no cover
@@ -167,10 +169,25 @@ def main():
                           "error": repr(e)}), flush=True)
 
     try:
+        # the condensed + Pallas batch-in-lanes Cholesky path, tracked so
+        # the alternative backend cannot regress unmeasured
+        v = bench_throughput(ge, backend, horizon=10, batch=16384)
+        emit("convex_mpc_solves_per_s_condensed_pallas_h10", v,
+             "solves/s", v / 10000.0)
+    except Exception as e:              # pragma: no cover
+        print(json.dumps({"metric":
+                          "convex_mpc_solves_per_s_condensed_pallas_h10",
+                          "error": repr(e)}), flush=True)
+
+    try:
+        # B=1 latency favors the condensed solver (the Riccati stage scan
+        # is throughput-oriented; its sequential tiny stages leave the chip
+        # idle at batch 1)
         v = bench_latency(ge, backend, warm_admm=False)
         emit("qp_solve_latency_ms_b1_h10_cold_pdip", v, "ms", 2.0 / v)
     except Exception as e:              # pragma: no cover
-        print(json.dumps({"metric": "qp_solve_latency_ms_b1_h10_cold_pdip",
+        print(json.dumps({"metric":
+                          "qp_solve_latency_ms_b1_h10_cold_pdip",
                           "error": repr(e)}), flush=True)
 
     try:
@@ -180,8 +197,8 @@ def main():
         print(json.dumps({"metric": "qp_solve_latency_ms_b1_h10_warm_admm30",
                           "error": repr(e)}), flush=True)
 
-    # --- headline metric: LAST line ---
-    v = bench_throughput(ge, backend, horizon=10, batch=16384)
+    # --- headline metric: LAST line (product-default solver) ---
+    v = bench_throughput(ge, solver, horizon=10, batch=4096)
     emit("convex_mpc_solves_per_s_per_chip_go1_trot_h10", v,
          "solves/s", v / 10000.0)
 

@@ -327,7 +327,7 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
                              substeps: int = C.SUBSTEPS_PER_MPC_TICK,
                              kf_type: int = 0,
                              iters: int = 15,
-                             solver: str = "pdip",
+                             solver: str = "riccati",
                              backend: str = None,
                              low_level_type: int = 0,
                              warm=None):

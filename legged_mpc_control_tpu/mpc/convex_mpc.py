@@ -23,20 +23,33 @@ import jax.numpy as jnp
 
 from legged_mpc_control_tpu.config import RobotParams
 from legged_mpc_control_tpu.mpc import admm, gait as gait_mod
-from legged_mpc_control_tpu.mpc import pdip, qp_builder, reference
+from legged_mpc_control_tpu.mpc import pdip, qp_builder, reference, riccati
 from legged_mpc_control_tpu.ops.filters import moving_window_update
 from legged_mpc_control_tpu.types import ControllerState
 
 
+class StageQP(NamedTuple):
+    """Stagewise MPC QP data (pre-condensation). The Riccati solver
+    consumes this directly; the condensed solvers derive (P, q) from it."""
+    x0: jnp.ndarray          # (12,)
+    x_ref: jnp.ndarray       # (H, 12)
+    A_seq: jnp.ndarray       # (H, 12, 12)
+    B: jnp.ndarray           # (12, 12)
+    contact: jnp.ndarray     # (H, 4)
+    q_weights: jnp.ndarray   # (12,)
+    r_weights: jnp.ndarray   # (12,)
+    mu: jnp.ndarray          # scalar
+    fz_max: jnp.ndarray      # scalar
+
+
 def mpc_prepare(state: ControllerState, params: RobotParams,
                 pattern: gait_mod.GaitPattern, dt, *,
-                horizon: int) -> Tuple[ControllerState,
-                                       qp_builder.CondensedQP]:
+                horizon: int) -> Tuple[ControllerState, StageQP]:
     """Everything before the QP solve: joystick filtering, gait stepping,
-    contact prediction, reference + linearization, condensed QP build
+    contact prediction, reference + linearization
     (reference: ConvexMpc.cpp:33-108 minus the solve at :64-78).
 
-    Returns (state with ctrl/gait/filters updated, CondensedQP)."""
+    Returns (state with ctrl/gait/filters updated, StageQP)."""
     fbk, ctrl, joy = state.fbk, state.ctrl, state.joy
     dtype = fbk.root_pos.dtype
     legs = jnp.arange(4, dtype=jnp.int32)
@@ -96,14 +109,17 @@ def mpc_prepare(state: ControllerState, params: RobotParams,
 
     x0 = jnp.concatenate([fbk.root_euler, fbk.root_pos,
                           fbk.root_ang_vel, fbk.root_lin_vel])
-    qp = qp_builder.build_condensed_qp(
-        x0, x_ref, A_seq, B, contact, params.q_weights, params.r_weights,
-        params.mu, params.fz_max, dt)
+    stage = StageQP(
+        x0=x0, x_ref=x_ref, A_seq=A_seq, B=B, contact=contact,
+        q_weights=jnp.asarray(params.q_weights, dtype),
+        r_weights=jnp.asarray(params.r_weights, dtype),
+        mu=jnp.asarray(params.mu, dtype),
+        fz_max=jnp.asarray(params.fz_max, dtype))
 
     state = state.replace(
         ctrl=ctrl, gait=new_gait,
         vel_filter_x=vfx, vel_filter_y=vfy)
-    return state, qp
+    return state, stage
 
 
 def mpc_finish(state: ControllerState, grf) -> ControllerState:
@@ -120,14 +136,23 @@ def mpc_finish(state: ControllerState, grf) -> ControllerState:
     return state.replace(ctrl=ctrl, mpc_inited=jnp.ones((), dtype=bool))
 
 
+def build_condensed_from_stage(stage: StageQP, dt):
+    """Condense one StageQP into the dense (P, q) form (qp_builder.py)."""
+    return qp_builder.build_condensed_qp(
+        stage.x0, stage.x_ref, stage.A_seq, stage.B, stage.contact,
+        stage.q_weights, stage.r_weights, stage.mu, stage.fz_max, dt)
+
+
 def mpc_tick(state: ControllerState, params: RobotParams,
              pattern: gait_mod.GaitPattern, dt, *,
              horizon: int, pdip_iters: int = 18) -> ControllerState:
     """One MPC update (reference 100 Hz thread body, ConvexMpc.cpp:24-62).
 
     Single-scenario path (CLI / hardware loop). Batched rollouts should use
-    `mpc_tick_batched` so the solve hits the Pallas batched kernels."""
-    state, qp = mpc_prepare(state, params, pattern, dt, horizon=horizon)
+    `mpc_tick_batched` so the solve hits the batched Riccati/Pallas
+    kernels."""
+    state, stage = mpc_prepare(state, params, pattern, dt, horizon=horizon)
+    qp = build_condensed_from_stage(stage, dt)
     res = pdip.solve_qp_pdip(qp.P, qp.q, qp.mu, qp.fz_max,
                              contact=qp.contact, iters=pdip_iters)
     grf = res.u[0:12]
@@ -139,33 +164,43 @@ def mpc_tick(state: ControllerState, params: RobotParams,
 def mpc_tick_batched(states: ControllerState, params: RobotParams,
                      pattern: gait_mod.GaitPattern, dt, *,
                      horizon: int, iters: int = 15,
-                     solver: str = "pdip", backend: str = "pallas",
+                     solver: str = "riccati", backend: str = "pallas",
                      warm=None) -> Tuple[ControllerState, Optional[tuple]]:
     """Batched MPC tick: vmap the QP build/pack, solve the whole scenario
-    batch in ONE call to the explicitly-batched solver (Pallas Cholesky).
+    batch in ONE explicitly-batched solver call.
 
     Args:
       states: ControllerState with a leading scenario axis on every leaf.
       params: RobotParams with a leading scenario axis on every leaf
         (broadcast shared leaves with `parallel.runner.broadcast_params`).
-      solver: "pdip" (cold interior point, reference-accuracy) or "admm"
-        (OSQP-equivalent; pass `warm` carried across ticks to mirror the
-        reference's `setWarmStart(true)`, ConvexQPSolver.cpp:185).
-      backend: "pallas" on TPU, "xla" on CPU.
+      solver: "riccati" (default — the stagewise lanes-layout IPM,
+        mpc/riccati.py: fastest at every horizon and never condenses),
+        "pdip" (condensed dense IPM + Pallas batch-in-lanes Cholesky), or
+        "admm" (OSQP-equivalent; pass `warm` carried across ticks to mirror
+        the reference's `setWarmStart(true)`, ConvexQPSolver.cpp:185).
+      backend: "pallas" on TPU, "xla" on CPU (condensed solvers only).
       warm: ADMM warm tuple from the previous tick (solver="admm" only).
 
-    Returns (states', warm') where warm' is None for pdip.
+    Returns (states', warm') where warm' is None unless solver="admm".
     """
-    states, qp = jax.vmap(
+    states, stage = jax.vmap(
         lambda s, p: mpc_prepare(s, p, pattern, dt, horizon=horizon)
     )(states, params)
 
-    if solver == "admm":
+    if solver == "riccati":
+        res = riccati.solve_qp_riccati_batched(
+            stage.x0, stage.x_ref, stage.A_seq, stage.B, stage.contact,
+            stage.q_weights, stage.r_weights, stage.mu, stage.fz_max, dt,
+            iters=iters)
+        warm_out = None
+    elif solver == "admm":
+        qp = jax.vmap(lambda s: build_condensed_from_stage(s, dt))(stage)
         res = admm.solve_qp_admm_batched(
             qp.P, qp.q, qp.mu, qp.fz_max, qp.contact,
             iters=iters, warm=warm, backend=backend)
         warm_out = res.warm
     else:
+        qp = jax.vmap(lambda s: build_condensed_from_stage(s, dt))(stage)
         res = pdip.solve_qp_pdip_batched(
             qp.P, qp.q, qp.mu, qp.fz_max, qp.contact,
             iters=iters, backend=backend)

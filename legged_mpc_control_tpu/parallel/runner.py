@@ -47,7 +47,7 @@ def randomize_params(params: RobotParams, key, batch: int,
 def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
                          n_ticks=100, substeps=C.SUBSTEPS_PER_MPC_TICK,
                          pdip_iters=12, use_ground_truth=True, kf_type=None,
-                         walk_velx=0.0, solver="pdip", backend=None,
+                         walk_velx=0.0, solver="riccati", backend=None,
                          low_level_type=0):
     """Returns rollout(loop_batch, params_batched) -> (final, diag).
 

@@ -47,6 +47,28 @@ def test_batched_tick_matches_vmapped_reference():
         np.asarray(want.controller.ctrl.optimized_input), atol=1e-7)
 
 
+def test_riccati_batched_tick_matches_pdip():
+    """The product-default Riccati solver drives the closed loop to the
+    same place as the condensed PDIP (identical Newton systems)."""
+    params = a1_params(DTYPE)
+    pattern = gait.trot_pattern(DTYPE)
+    batch = 3
+    loop = runner.init_loop_batch(params, batch, jax.random.PRNGKey(2),
+                                  dtype=DTYPE)
+    params_b = step_mod.broadcast_params(params, batch)
+
+    got_r, _ = step_mod.closed_loop_tick_batched(
+        loop, params_b, pattern, horizon=5, iters=15, solver="riccati")
+    got_p, _ = step_mod.closed_loop_tick_batched(
+        loop, params_b, pattern, horizon=5, iters=15, solver="pdip",
+        backend="xla")
+    np.testing.assert_allclose(np.asarray(got_r.sim.pos),
+                               np.asarray(got_p.sim.pos), atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(got_r.controller.ctrl.optimized_input),
+        np.asarray(got_p.controller.ctrl.optimized_input), atol=1e-5)
+
+
 def test_admm_warm_rollout_tracks_pdip_rollout():
     """Closed-loop trot with the warm-started ADMM solver lands where the
     cold-PDIP loop lands (OSQP-equivalent operating accuracy ~0.1 N)."""
