@@ -165,3 +165,94 @@ class HardwareInterface(BaseInterface):
         if self._started:
             self.rt.stop()
         self.rt.close()
+
+
+class UnitreeHardwareInterface(BaseInterface):
+    """Speaks the REAL unitree_legged_sdk v3.2 wire protocol: LowCmd /
+    LowState byte layouts + crc32_core over UDP
+    (reference: HardwareInterface.cpp:7 — LOWLEVEL, local 8090 ->
+    192.168.123.10:8007; codec in native/unitree_codec.cpp). The codec
+    applies the SDK Safety equivalents (PositionLimit + PowerProtect level,
+    reference: :113-115) on every encode, and this class reproduces the
+    reference's foot-force bias capture and moving-average filtering
+    (reference: :30-36, 161-173).
+
+    SAFETY: defaults to loopback. Pass the robot address deliberately.
+    """
+
+    N_BIAS_FRAMES = 100
+
+    def __init__(self, bind=("0.0.0.0", 8090),
+                 peer=("127.0.0.1", 8007), power_protect_level=10):
+        import socket
+
+        from legged_mpc_control_tpu import native
+
+        self.codec = native.UnitreeCodec()
+        self.peer = peer
+        self.level = power_protect_level
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind(bind)
+        self.sock.setblocking(False)
+        self._force_filter = _MovingAverage(40, 4)
+        self._dq_filter = _MovingAverage(10, 12)
+        self._force_bias = np.zeros(4)
+        self._bias_frames = 0
+        self._last_q = np.zeros(12, dtype=np.float64)
+        self._tick = -1
+
+    def start(self):
+        pass                    # socket is live from construction
+
+    def fbk_update(self) -> Optional[Dict[str, np.ndarray]]:
+        """Drain the socket, decode the newest valid LowState
+        (reference: receive_low_state, HardwareInterface.cpp:137-201)."""
+        latest = None
+        while True:
+            try:
+                data, _ = self.sock.recvfrom(4096)
+            except BlockingIOError:
+                break
+            if len(data) == self.codec.lowstate_size:
+                latest = data
+        if latest is None:
+            return None
+        try:
+            st = self.codec.decode_lowstate(latest)
+        except ValueError:
+            return None
+        if st["tick"] == self._tick:
+            return None
+        self._tick = st["tick"]
+
+        q = st["q"].astype(np.float64)
+        dq = self._dq_filter.update(st["dq"].astype(np.float64))
+        ff = st["foot_force"].astype(np.float64)
+        if self._bias_frames < self.N_BIAS_FRAMES:
+            k = self._bias_frames
+            self._force_bias = (self._force_bias * k + ff) / (k + 1)
+            self._bias_frames += 1
+        ff = self._force_filter.update(ff - self._force_bias)
+        self._last_q = q
+        return dict(
+            quat=st["quat"].astype(np.float64),
+            imu_acc=st["acc"].astype(np.float64),
+            imu_ang_vel=st["gyro"].astype(np.float64),
+            joint_pos=q, joint_vel=dq,
+            joint_tau_est=st["tau_est"].astype(np.float64),
+            foot_force_sensor=ff,
+        )
+
+    def send_cmd(self, q_tgt, dq_tgt, tau_ff, kp, kd) -> bool:
+        pkt = self.codec.encode_lowcmd(
+            np.asarray(q_tgt), np.asarray(dq_tgt), np.asarray(tau_ff),
+            np.broadcast_to(kp, (12,)), np.broadcast_to(kd, (12,)),
+            q_state=self._last_q, power_protect_level=self.level)
+        self.sock.sendto(pkt, self.peer)
+        return True
+
+    def stats(self):
+        return {"tick": self._tick, "bias_frames": self._bias_frames}
+
+    def close(self):
+        self.sock.close()

@@ -29,6 +29,16 @@ def build_parser():
                    help="kf_type: 0 ground truth (sim only), 1 linear KF, "
                         "2 EKF (reference: BaseInterface.cpp:404-449)")
     p.add_argument("--backend", choices=["sim", "hardware"], default="sim")
+    p.add_argument("--wire", choices=["native", "unitree"],
+                   default="native",
+                   help="hardware wire protocol: 'native' (framework "
+                        "runtime packets, loopback HIL) or 'unitree' "
+                        "(real unitree_legged_sdk v3.2 LowCmd/LowState, "
+                        "reference: HardwareInterface.cpp:7)")
+    p.add_argument("--robot-ip", default="127.0.0.1",
+                   help="robot address (Unitree low-level default "
+                        "192.168.123.10)")
+    p.add_argument("--robot-port", type=int, default=8007)
     p.add_argument("--gait", default="trot",
                    help="named gait (gait.info equivalent): trot, "
                         "standing_trot, flying_trot, pace, crawl, bound, "
@@ -157,15 +167,27 @@ def _run_hardware(args, params, pattern, dtype):
 
     from legged_mpc_control_tpu import constants as C
     from legged_mpc_control_tpu.control import step as step_mod
-    from legged_mpc_control_tpu.interfaces.hardware import HardwareInterface
+    from legged_mpc_control_tpu.interfaces.hardware import (
+        HardwareInterface,
+        UnitreeHardwareInterface,
+    )
 
-    iface = HardwareInterface()
+    if args.wire == "unitree":
+        iface = UnitreeHardwareInterface(
+            peer=(args.robot_ip, args.robot_port))
+    else:
+        iface = HardwareInterface(peer=(args.robot_ip, args.robot_port))
     iface.start()
     cs = step_mod.controller_init(params, dtype=dtype,
                                   body_height=args.height)
     n_ticks = int(args.seconds / C.MPC_DT)
+    # solve-time-compensated pacing on an absolute deadline (the reference
+    # subtracts the measured loop time from the period, main.cpp:156-162;
+    # an absolute deadline additionally avoids drift accumulation)
+    deadline = time.perf_counter()
     try:
         for _ in range(n_ticks):
+            deadline += C.MPC_DT
             raw = iface.fbk_update()
             if raw is None:
                 time.sleep(C.LOW_LEVEL_DT)
@@ -176,7 +198,8 @@ def _run_hardware(args, params, pattern, dtype):
             from legged_mpc_control_tpu.mpc import convex_mpc
             cs = convex_mpc.mpc_tick(cs, params, pattern, C.MPC_DT,
                                      horizon=args.horizon)
-            cs, tau, safe = step_mod.lowlevel_update(cs, params)
+            cs, tau, safe = step_mod.lowlevel_update(
+                cs, params, low_level_type=args.low_level)
             if not bool(safe):
                 print("safety stop", file=sys.stderr)
                 return 3
@@ -185,7 +208,9 @@ def _run_hardware(args, params, pattern, dtype):
                            np.asarray(cs.ctrl.joint_tau_tgt),
                            np.tile(np.asarray(params.kp_foot), 4),
                            np.tile(np.asarray(params.kd_foot), 4))
-            time.sleep(C.MPC_DT)
+            remaining = deadline - time.perf_counter()
+            if remaining > 0:
+                time.sleep(remaining)
         print(json.dumps({"ticks": n_ticks, "stats": iface.stats()}))
         return 0
     finally:

@@ -62,6 +62,30 @@ def load_library() -> ctypes.CDLL:
     lib.rt_decode_cmd.restype = ctypes.c_int
     lib.rt_decode_cmd.argtypes = [u8, ctypes.c_int, f, f, f, f, f,
                                   ctypes.POINTER(ctypes.c_uint32)]
+    # Unitree legged_sdk v3.2 wire codec (native/unitree_codec.cpp)
+    for name in ("unitree_lowcmd_size", "unitree_lowstate_size",
+                 "unitree_highcmd_size", "unitree_highstate_size"):
+        getattr(lib, name).restype = ctypes.c_int
+    lib.unitree_crc32.restype = ctypes.c_uint32
+    lib.unitree_crc32.argtypes = [u8, ctypes.c_int]
+    lib.unitree_lowcmd_encode.restype = ctypes.c_int
+    lib.unitree_lowcmd_encode.argtypes = [f, f, f, f, f, f, ctypes.c_int,
+                                          u8, ctypes.c_int]
+    lib.unitree_lowcmd_decode.restype = ctypes.c_int
+    lib.unitree_lowcmd_decode.argtypes = [u8, ctypes.c_int, f, f, f, f, f]
+    lib.unitree_lowstate_encode.restype = ctypes.c_int
+    lib.unitree_lowstate_encode.argtypes = [f, f, f, f, f, f, f,
+                                            ctypes.c_uint32, u8,
+                                            ctypes.c_int]
+    lib.unitree_lowstate_decode.restype = ctypes.c_int
+    lib.unitree_lowstate_decode.argtypes = [u8, ctypes.c_int, f, f, f, f, f,
+                                            f, f,
+                                            ctypes.POINTER(ctypes.c_uint32)]
+    lib.unitree_highcmd_encode.restype = ctypes.c_int
+    lib.unitree_highcmd_encode.argtypes = [ctypes.c_uint8] + [
+        ctypes.c_float] * 8 + [u8, ctypes.c_int]
+    lib.unitree_highstate_decode.restype = ctypes.c_int
+    lib.unitree_highstate_decode.argtypes = [u8, ctypes.c_int, f, f, f, f, f]
     _lib = lib
     return lib
 
@@ -158,6 +182,104 @@ def encode_state_packet(quat, gyro, acc, q, dq, tau_est, foot_force, seq=1):
     if n <= 0:
         raise RuntimeError("encode failed")
     return bytes(buf[:n])
+
+
+class UnitreeCodec:
+    """Unitree legged_sdk v3.2 wire protocol (LowCmd/LowState/HighCmd) —
+    the byte layout + crc32_core the reference speaks to real hardware
+    (reference: HardwareInterface.cpp:86-120, UnitreeComm.hpp:28). All
+    joint/foot arrays are INTERNAL order (FL,FR,RL,RR); the codec performs
+    the wire-order swap (HardwareInterface.cpp:27-28) and applies the SDK
+    Safety equivalents (PositionLimit + PowerProtect) on encode."""
+
+    def __init__(self):
+        self._lib = load_library()
+        self.lowcmd_size = self._lib.unitree_lowcmd_size()
+        self.lowstate_size = self._lib.unitree_lowstate_size()
+        self.highcmd_size = self._lib.unitree_highcmd_size()
+        self.highstate_size = self._lib.unitree_highstate_size()
+
+    @staticmethod
+    def _f32(a):
+        return np.ascontiguousarray(a, dtype=np.float32)
+
+    def encode_lowcmd(self, q, dq, tau, kp, kd, q_state=None,
+                      power_protect_level=10) -> bytes:
+        buf = np.zeros(self.lowcmd_size, dtype=np.uint8)
+        qs = self._f32(q_state if q_state is not None else q)
+        args = [self._f32(a) for a in (q, dq, tau, kp, kd)]
+        n = self._lib.unitree_lowcmd_encode(
+            *[_fptr(a) for a in args], _fptr(qs),
+            int(power_protect_level),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.lowcmd_size)
+        if n <= 0:
+            raise RuntimeError(f"lowcmd encode failed: {n}")
+        return bytes(buf[:n])
+
+    def decode_lowcmd(self, data: bytes):
+        buf = np.frombuffer(data, dtype=np.uint8).copy()
+        out = [np.zeros(12, np.float32) for _ in range(5)]
+        rc = self._lib.unitree_lowcmd_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            *[_fptr(a) for a in out])
+        if rc != 0:
+            raise ValueError(f"lowcmd decode failed rc={rc}")
+        return dict(zip(("q", "dq", "tau", "kp", "kd"), out))
+
+    def encode_lowstate(self, quat, gyro, acc, q, dq, tau_est, foot_force,
+                        tick=0) -> bytes:
+        buf = np.zeros(self.lowstate_size, dtype=np.uint8)
+        args = [self._f32(a)
+                for a in (quat, gyro, acc, q, dq, tau_est, foot_force)]
+        n = self._lib.unitree_lowstate_encode(
+            *[_fptr(a) for a in args], int(tick),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.lowstate_size)
+        if n <= 0:
+            raise RuntimeError(f"lowstate encode failed: {n}")
+        return bytes(buf[:n])
+
+    def decode_lowstate(self, data: bytes):
+        buf = np.frombuffer(data, dtype=np.uint8).copy()
+        quat = np.zeros(4, np.float32)
+        gyro = np.zeros(3, np.float32)
+        acc = np.zeros(3, np.float32)
+        q = np.zeros(12, np.float32)
+        dq = np.zeros(12, np.float32)
+        tau = np.zeros(12, np.float32)
+        ff = np.zeros(4, np.float32)
+        tick = ctypes.c_uint32()
+        rc = self._lib.unitree_lowstate_decode(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            _fptr(quat), _fptr(gyro), _fptr(acc), _fptr(q), _fptr(dq),
+            _fptr(tau), _fptr(ff), ctypes.byref(tick))
+        if rc != 0:
+            raise ValueError(f"lowstate decode failed rc={rc}")
+        return dict(quat=quat, gyro=gyro, acc=acc, q=q, dq=dq, tau_est=tau,
+                    foot_force=ff, tick=tick.value)
+
+    def encode_highcmd(self, mode, forward_speed=0.0, side_speed=0.0,
+                       rotate_speed=0.0, body_height=0.0,
+                       foot_raise_height=0.0, yaw=0.0, pitch=0.0,
+                       roll=0.0) -> bytes:
+        buf = np.zeros(self.highcmd_size, dtype=np.uint8)
+        n = self._lib.unitree_highcmd_encode(
+            int(mode), float(forward_speed), float(side_speed),
+            float(rotate_speed), float(body_height),
+            float(foot_raise_height), float(yaw), float(pitch),
+            float(roll),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.highcmd_size)
+        if n <= 0:
+            raise RuntimeError(f"highcmd encode failed: {n}")
+        return bytes(buf[:n])
+
+    def crc32(self, data: bytes) -> int:
+        buf = np.frombuffer(data, dtype=np.uint8).copy()
+        return int(self._lib.unitree_crc32(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(buf) // 4))
 
 
 def decode_cmd_packet(data: bytes):
