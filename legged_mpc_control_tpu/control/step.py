@@ -135,6 +135,16 @@ def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
         ekf_stepped, pos_est, vel_est, eul_est = ekf_mod.ekf_update(
             ekf, dt, fbk.imu_acc, fbk.imu_ang_vel,
             fbk.foot_pos_rel, fbk.foot_vel_rel, contacts)
+        if "mocap_pos" in sensors_raw:
+            # external mocap correction (reference: simulated mocap feeds
+            # the EKF in Gazebo, GazeboInterface.cpp:147-177; real NatNet
+            # path HardwareInterface.cpp:203-228)
+            ekf_stepped = ekf_mod.ekf_update_with_opti(
+                ekf_stepped, sensors_raw["mocap_pos"],
+                sensors_raw["mocap_euler"])
+            pos_est = ekf_stepped.x[0:3]
+            vel_est = ekf_stepped.x[3:6]
+            eul_est = ekf_stepped.x[6:9]
         first = ~ekf.initialized
         ekf = jax.tree.map(
             lambda a, b: jnp.where(first, a, b), ekf_fresh, ekf_stepped)

@@ -14,10 +14,14 @@ with `jax.jacfwd` on the (pure) models — fixed 21-state shapes, so the whole
 predict/update compiles into the jitted control step and `vmap`s over
 scenarios.
 
-State (21): [root_pos(3), root_vel(3), root_euler(3) (ZYX rpy),
-foot_pos_world(4x3)]. Unlike `BasicKF` (estimation/basic_kf.py) the attitude
-is *in* the state, so leg odometry and mocap corrections propagate into
-roll/pitch/yaw — which is why the reference requires kf_type != 0 on hardware
+State (25): [root_pos(3), root_vel(3), root_euler(3) (ZYX rpy),
+foot_pos_world(4x3), terrain_height(4)] — the foot + TERRAIN states that
+give the reference estimator its name (`A1KFCombineLOWithFootTerrain`): the
+foot-height channel measures `foot_z - terrain_i = 0` instead of pinning
+feet to a flat plane, so the filter stays consistent on steps and slopes.
+Unlike `BasicKF` (estimation/basic_kf.py) the attitude is *in* the state,
+so leg odometry and mocap corrections propagate into roll/pitch/yaw — which
+is why the reference requires kf_type != 0 on hardware
 (reference: main.cpp:97-100).
 """
 
@@ -30,8 +34,9 @@ from flax import struct
 from legged_mpc_control_tpu.constants import GRAVITY_EST, NUM_LEG
 from legged_mpc_control_tpu.ops import so3
 
-STATE_SIZE = 21
-MEAS_SIZE = 28   # 4x3 FK residual + 4x3 leg velocity + 4 foot height
+STATE_SIZE = 25
+MEAS_SIZE = 32   # 4x3 FK residual + 4x3 leg velocity + 4 foot-vs-terrain
+                 # + 4 terrain prior (see ekf_update)
 
 
 class EkfNoise(NamedTuple):
@@ -45,12 +50,17 @@ class EkfNoise(NamedTuple):
     proc_foot_swing: Any = 1000.0  # ... inflated in swing
     meas_fk: Any = 0.005           # FK residual measurement noise
     meas_vel: Any = 0.05           # leg-odometry velocity noise
-    meas_height: Any = 0.005       # flat-ground foot height noise
+    meas_height: Any = 0.005       # foot-on-terrain height noise
     meas_vel_swing_mult: Any = 1e3  # swing-leg inflation on velocity rows
     opti_pos: Any = 0.002          # mocap position measurement noise
     opti_euler: Any = 0.002        # mocap attitude measurement noise
     init_pos_unc: Any = 0.1        # initial covariance, position block
     init_unc: Any = 1.0            # initial covariance, everything else
+    # terrain random walk: tight while the foot stands on it, loose while
+    # the foot travels to new ground (the foot+terrain refinement of the
+    # reference's A1KFCombineLOWithFootTerrain)
+    proc_terrain_stance: Any = 1e-5
+    proc_terrain_swing: Any = 0.01
 
 
 @struct.dataclass
@@ -82,23 +92,25 @@ def _rotmat(eul):
 
 
 def _process(x, imu_acc, imu_gyro, dt):
-    """IMU-driven strapdown process model (leg positions constant)."""
+    """IMU-driven strapdown process model (feet + terrain constant)."""
     dtype = x.dtype
-    p, v, eul, feet = x[0:3], x[3:6], x[6:9], x[9:21]
+    p, v, eul, rest = x[0:3], x[3:6], x[6:9], x[9:]
     R = _rotmat(eul)
     acc_w = R @ imu_acc + jnp.array([0.0, 0.0, -GRAVITY_EST], dtype=dtype)
     p_new = p + v * dt + 0.5 * acc_w * dt * dt
     v_new = v + acc_w * dt
     eul_new = eul + (_euler_rate_matrix(eul) @ imu_gyro) * dt
-    return jnp.concatenate([p_new, v_new, eul_new, feet])
+    return jnp.concatenate([p_new, v_new, eul_new, rest])
 
 
 def _measure(x, foot_pos_rel, foot_vel_rel, imu_gyro):
     """h(x): per-leg FK residual (world), leg-odometry velocity, foot
-    height — the same 28 channels as BasicKF (reference: BasicKF.cpp:12-19)
-    but nonlinear in the euler states."""
+    height ABOVE the per-foot terrain state — the same 28 channels as
+    BasicKF (reference: BasicKF.cpp:12-19) but nonlinear in the euler
+    states and terrain-referenced in the height rows."""
     p, v, eul = x[0:3], x[3:6], x[6:9]
     feet = x[9:21].reshape(NUM_LEG, 3)
+    terrain = x[21:25]
     R = _rotmat(eul)
     fk_pred = jnp.einsum("ba,lb->la", R, feet - p[None, :])  # body frame
     # leg odometry: v_world = -R (J dq + omega x p_rel)
@@ -106,9 +118,13 @@ def _measure(x, foot_pos_rel, foot_vel_rel, imu_gyro):
         jnp.broadcast_to(imu_gyro, (NUM_LEG, 3)), foot_pos_rel)
     vel_pred = jnp.broadcast_to(v, (NUM_LEG, 3))
     vel_meas_model = jnp.einsum("ba,lb->la", R, vel_pred)    # body frame
-    height_pred = feet[:, 2]
+    height_pred = feet[:, 2] - terrain
+    # terrain prior rows: with foot-vs-terrain heights alone, absolute
+    # height is a gauge freedom (any offset satisfies foot_z = terrain);
+    # a weak terrain ~ 0 prior anchors it on level ground while still
+    # letting each foot's terrain state track real steps
     return jnp.concatenate([fk_pred.reshape(-1), vel_meas_model.reshape(-1),
-                            height_pred]), leg_v_body
+                            height_pred, terrain]), leg_v_body
 
 
 def ekf_init(root_quat, root_pos, foot_pos_rel,
@@ -119,10 +135,12 @@ def ekf_init(root_quat, root_pos, foot_pos_rel,
     R = _rotmat(eul)
     feet = (R @ foot_pos_rel.T).T + root_pos[None, :]
     x = jnp.concatenate([root_pos.astype(dtype), jnp.zeros(3, dtype=dtype),
-                         eul, feet.reshape(-1).astype(dtype)])
+                         eul, feet.reshape(-1).astype(dtype),
+                         feet[:, 2].astype(dtype)])     # terrain := feet z
     diag = jnp.concatenate([
         jnp.full((3,), noise.init_pos_unc, dtype=dtype),
-        jnp.full((18,), noise.init_unc, dtype=dtype)])
+        jnp.full((18,), noise.init_unc, dtype=dtype),
+        jnp.full((4,), noise.init_pos_unc, dtype=dtype)])
     return EkfState(x=x, P=jnp.diag(diag),
                     initialized=jnp.ones((), dtype=bool))
 
@@ -147,11 +165,14 @@ def ekf_update(ekf: EkfState, dt, imu_acc, imu_gyro, foot_pos_rel,
     xbar = f(x)
     foot_proc = (c * noise.proc_foot_stance
                  + (1.0 - c) * noise.proc_foot_swing)
+    terr_proc = (c * noise.proc_terrain_stance
+                 + (1.0 - c) * noise.proc_terrain_swing)
     qdiag = jnp.concatenate([
         jnp.full((3,), noise.proc_pos * dt, dtype=dtype),
         jnp.full((3,), noise.proc_vel * dt, dtype=dtype),
         jnp.full((3,), noise.proc_euler * dt, dtype=dtype),
-        jnp.repeat(foot_proc * dt, 3).astype(dtype)])
+        jnp.repeat(foot_proc * dt, 3).astype(dtype),
+        (terr_proc * dt).astype(dtype)])
     Pbar = F @ P @ F.T + jnp.diag(qdiag)
 
     # --- measurement ---
@@ -165,14 +186,16 @@ def ekf_update(ekf: EkfState, dt, imu_acc, imu_gyro, foot_pos_rel,
         "ba,b->a", _rotmat(xbar[6:9]), xbar[3:6])
     vel_meas = (c[:, None] * leg_v_body
                 + (1.0 - c)[:, None] * v_body_pred[None, :])
-    height_meas = jnp.zeros((NUM_LEG,), dtype=dtype)        # flat ground
+    height_meas = jnp.zeros((NUM_LEG,), dtype=dtype)   # foot ON terrain
+    terrain_prior = jnp.zeros((NUM_LEG,), dtype=dtype)  # level-ground prior
     y = jnp.concatenate([foot_pos_rel.reshape(-1), vel_meas.reshape(-1),
-                         height_meas])
+                         height_meas, terrain_prior])
 
     rdiag = jnp.concatenate([
         jnp.repeat(swing_infl * noise.meas_fk, 3).astype(dtype),
         jnp.repeat(swing_infl * noise.meas_vel, 3).astype(dtype),
-        (swing_infl * noise.meas_height).astype(dtype)
+        (swing_infl * noise.meas_height).astype(dtype),
+        jnp.full((4,), 0.02, dtype=dtype)
         if assume_flat_ground else jnp.full((4,), 1e6, dtype=dtype)])
     R = jnp.diag(rdiag)
 

@@ -166,3 +166,90 @@ def test_vmap_over_scenarios():
         s, DT, imu_acc, gyro, foot_rel, vel_rel, contacts))(sts)
     assert out[1].shape == (4, 3)
     assert out[3].shape == (4, 3)
+
+
+def test_terrain_state_tracks_a_step():
+    """The foot+terrain refinement (A1KFCombineLOWithFootTerrain): a foot
+    standing on a 5 cm block should pull its terrain state to ~0.05 while
+    the others stay near 0 — without corrupting the body-height estimate."""
+    height = 0.3
+    # FL stands on a 5 cm block: its leg is 5 cm shorter in z
+    foot_rel = standing_fk(height)
+    foot_rel = foot_rel.at[0, 2].add(0.05)
+    imu_acc = jnp.array([0.0, 0.0, 9.81], DTYPE)
+    gyro = jnp.zeros(3, DTYPE)
+    vel_rel = jnp.zeros((4, 3), DTYPE)
+    contacts = jnp.ones(4, DTYPE)
+
+    pos0 = jnp.array([0.0, 0.0, height + 0.025], DTYPE)
+    st = ekf.ekf_init(QUAT_ID, pos0, foot_rel, dtype=DTYPE)
+    # the level-ground prior must not win against persistent evidence:
+    # loosen it by running with assume_flat_ground True (default weak prior)
+    step = jax.jit(lambda s: ekf.ekf_update(
+        s, DT, imu_acc, gyro, foot_rel, vel_rel, contacts))
+    for _ in range(2000):
+        st, pos, vel, eul = step(st)
+    terrain = np.asarray(st.x[21:25])
+    # FL's terrain clearly above the others
+    assert terrain[0] > terrain[1:].max() + 0.02, terrain
+    assert abs(terrain[1:].mean()) < 0.02, terrain
+    # small residual velocity bias is expected: the level-ground prior and
+    # the block are in steady conflict on the stepped foot
+    np.testing.assert_allclose(np.asarray(vel), 0.0, atol=1e-2)
+
+
+def test_kf2_mocap_fused_closed_loop_walk():
+    """kf_type=2 (EKF) with simulated-mocap fusion in the full closed
+    loop, WALKING (reference: GazeboInterface.cpp:147-177 degrades gt odom
+    into mocap for the EKF; BaseInterface.cpp:414-446 runs it in the
+    loop)."""
+    from legged_mpc_control_tpu.control import step as step_mod
+    from legged_mpc_control_tpu.mpc import gait
+    from legged_mpc_control_tpu.sim import srb_sim
+    from legged_mpc_control_tpu.ops import so3 as so3_mod
+
+    params = PARAMS
+    pattern = gait.trot_pattern(DTYPE)
+    loop = step_mod.LoopState(
+        controller=step_mod.controller_init(params, dtype=DTYPE),
+        sim=srb_sim.sim_init(params, height=0.3, dtype=DTYPE))
+    rng = np.random.default_rng(0)
+
+    def tick(loop, walk):
+        cs = loop.controller
+        if walk:
+            cs = cs.replace(
+                ctrl=cs.ctrl.replace(
+                    movement_mode=jnp.ones((), jnp.int32)),
+                joy=cs.joy.replace(velx=jnp.asarray(0.2, DTYPE)))
+            loop = loop.replace(controller=cs)
+        # inject simulated mocap (gt pose + 1 mm / 1 mrad noise) into the
+        # sensor dict the EKF consumes
+        raw = srb_sim.read_sensors(loop.sim, params)
+        raw["foot_force_sensor"] = jnp.where(
+            loop.sim.contact, 40.0, 0.0).astype(DTYPE)
+        raw["mocap_pos"] = loop.sim.pos + jnp.asarray(
+            rng.normal(0, 1e-3, 3), DTYPE)
+        raw["mocap_euler"] = (so3_mod.quat_to_euler(loop.sim.quat)
+                              + jnp.asarray(rng.normal(0, 1e-3, 3), DTYPE))
+        cs = step_mod.feedback_update(loop.controller, raw, params,
+                                      0.00125, kf_type=2)
+        loop = loop.replace(controller=cs)
+        return step_mod.closed_loop_tick(
+            loop, params, pattern, horizon=5, kf_type=2, pdip_iters=10)
+
+    for i in range(10):
+        loop = tick(loop, walk=False)
+    x0 = float(loop.sim.pos[0])
+    for i in range(40):
+        loop = tick(loop, walk=True)
+
+    est_pos = np.asarray(loop.controller.fbk.root_pos)
+    gt_pos = np.asarray(loop.sim.pos)
+    est_eul = np.asarray(loop.controller.fbk.root_euler)
+    gt_eul = np.asarray(so3_mod.quat_to_euler(loop.sim.quat))
+    # estimator tracks ground truth while walking; robot makes progress
+    assert np.max(np.abs(est_pos - gt_pos)) < 0.01, (est_pos, gt_pos)
+    assert np.max(np.abs(est_eul - gt_eul)) < 0.02, (est_eul, gt_eul)
+    assert float(loop.sim.pos[0]) - x0 > 0.03
+    assert gt_pos[2] > 0.17   # quasi-static trot sag (see verify notes)

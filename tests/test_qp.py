@@ -130,7 +130,7 @@ def test_friction_cone_respected():
     x0[9] = 2.0                      # large velocity error -> large fx demand
     u, u_oracle, _ = solve_both(params, H, contact, x0,
                                 vel_cmd=(-2.0, 0.0, 0.0))
-    np.testing.assert_allclose(u, u_oracle, atol=2e-4)
+    np.testing.assert_allclose(u, u_oracle, atol=1e-4)
     grf = u.reshape(H, 4, 3)
     mu = 0.3
     assert np.all(np.abs(grf[..., 0]) <= mu * grf[..., 2] + 1e-6)
@@ -151,7 +151,22 @@ def test_yaw_turn_long_horizon():
     x0[5] = 0.28
     u, u_oracle, res = solve_both(params, H, contact, x0,
                                   vel_cmd=(0.3, 0.1, 0.0), yaw_rate=0.5)
-    np.testing.assert_allclose(u, u_oracle, atol=2e-4)
+    # BASELINE GRF parity: <= 1e-4 vs the reference-grade oracle, at the
+    # reference's full H=30 horizon (measured deviation ~2.7e-5)
+    np.testing.assert_allclose(u, u_oracle, atol=1e-4)
+
+    # the stagewise Riccati solver hits the same optimum without ever
+    # condensing (identical Newton systems, mpc/riccati.py)
+    from legged_mpc_control_tpu.mpc import riccati as riccati_mod
+
+    x0j, x_ref, A_seq, B, c = make_problem(
+        params, H, contact, x0, vel_cmd=(0.3, 0.1, 0.0), yaw_rate=0.5)
+    u_r = riccati_mod.solve_qp_riccati_batched(
+        x0j[None], x_ref[None], A_seq[None], B[None], c[None],
+        params.q_weights.astype(jnp.float64),
+        params.r_weights.astype(jnp.float64),
+        params.mu, params.fz_max, DT, iters=25).u[0]
+    np.testing.assert_allclose(np.asarray(u_r), u_oracle, atol=1e-4)
 
 
 def test_pdip_batch_vmap():

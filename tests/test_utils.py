@@ -60,3 +60,44 @@ def test_checkpoint_structure_mismatch_rejected():
             assert False, "should have raised"
         except ValueError:
             pass
+
+
+def test_savgol_smoother():
+    """Causal Savitzky-Golay filter (the reference EKF's
+    gram_savitzky_golay dependency): exactly reproduces polynomials up to
+    its order and attenuates noise."""
+    from legged_mpc_control_tpu.ops import filters
+
+    W = 9
+    # quadratic signal is reproduced exactly once the window fills
+    st = filters.savgol_init(W, dtype=jnp.float64)
+    ts = np.arange(30, dtype=np.float64)
+    sig = 0.5 * ts ** 2 - 2.0 * ts + 3.0
+    outs = []
+    for s in sig:
+        st, y = filters.savgol_update(st, jnp.asarray(s), order=2)
+        outs.append(float(y))
+    np.testing.assert_allclose(outs[W:], sig[W:], atol=1e-9)
+
+    # derivative mode recovers the slope of a ramp
+    st = filters.savgol_init(W, dtype=jnp.float64)
+    for s in 3.0 * ts[:15]:
+        st, dy = filters.savgol_update(st, jnp.asarray(s), order=2,
+                                       deriv=1, dt=1.0)
+    np.testing.assert_allclose(float(dy), 3.0, atol=1e-9)
+
+    # noise attenuation on a constant signal
+    rng = np.random.default_rng(0)
+    st = filters.savgol_init(W, dtype=jnp.float64)
+    noisy = 1.0 + 0.1 * rng.standard_normal(200)
+    errs = []
+    for s in noisy:
+        st, y = filters.savgol_update(st, jnp.asarray(s), order=2)
+        errs.append(float(y) - 1.0)
+    # causal endpoint evaluation: variance gain sum(c^2) ~ 0.65
+    assert np.std(errs[W:]) < 0.9 * np.std(noisy - 1.0)
+
+    # vector samples work (the EKF feeds (4,3) foot velocities)
+    st = filters.savgol_init(W, value_shape=(4, 3), dtype=jnp.float64)
+    st, y = filters.savgol_update(st, jnp.ones((4, 3)), order=2)
+    assert y.shape == (4, 3)
