@@ -56,6 +56,19 @@ def build_parser():
     p.add_argument("--velx", type=float, default=0.0,
                    help="forward velocity command; nonzero switches to walk")
     p.add_argument("--bag", default=None, help="write diagnostics .npz here")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a JAX profiler trace of the run into DIR "
+                        "(open with TensorBoard / xprof)")
+    p.add_argument("--tune-port", type=int, default=None, dest="tune_port",
+                   help="listen for live parameter updates (UDP JSON) on "
+                        "this port — the reference's low_level_gains "
+                        "channel (BaseInterface.cpp:147-162); push with "
+                        "utils.tuning.send_gains")
+    p.add_argument("--joy-port", type=int, default=None, dest="joy_port",
+                   help="listen for live gamepad frames (UDP JSON) on this "
+                        "port — the reference's /joy subscription "
+                        "(BaseInterface.cpp:122-145); push with "
+                        "interfaces.joystick.send_joy")
     p.add_argument("--f64", action="store_true", help="run in float64")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (tests/no-TPU hosts)")
@@ -120,19 +133,62 @@ def main(argv=None):
                          walk_velx=(args.velx or 0.25))
     n_ticks = int(args.seconds / C.MPC_DT)
     records = []
+    tick_wall_ms = []
+    tuner = None
+    if args.tune_port is not None:
+        from legged_mpc_control_tpu.utils.tuning import GainTuner
+
+        tuner = GainTuner(bind=("127.0.0.1", args.tune_port)).start()
+    joy_src = None
+    if args.joy_port is not None:
+        from legged_mpc_control_tpu.interfaces.joystick import UdpJoystick
+
+        joy_src = UdpJoystick(bind=("127.0.0.1", args.joy_port)).start()
+    profile_cm = None
+    if args.profile:
+        profile_cm = jax.profiler.trace(args.profile)
+        profile_cm.__enter__()
     t0 = time.perf_counter()
-    for i in range(n_ticks):
-        if args.velx != 0.0 and i == min(20, n_ticks // 4):
-            cs = iface.loop.controller
-            cs = cs.replace(
-                ctrl=cs.ctrl.replace(movement_mode=jnp.ones((), jnp.int32)),
-                joy=cs.joy.replace(velx=jnp.asarray(args.velx, dtype),
-                                   ctrl_state=jnp.ones((), jnp.int32)))
-            iface.loop = iface.loop.replace(controller=cs)
-        iface.tick()
-        if args.bag:
-            records.append(jax.device_get(
-                bag_mod.diag_from_loop(iface.loop)))
+    try:
+        for i in range(n_ticks):
+            if joy_src is not None:
+                # live operator input through the joy FSM
+                # (reference: joy_update, BaseInterface.cpp:165-209)
+                from legged_mpc_control_tpu.control import joy as joy_mod
+
+                axes, buttons = joy_src.get()
+                cs = joy_mod.joy_update(iface.loop.controller, axes,
+                                        buttons, C.MPC_DT, params)
+                iface.loop = iface.loop.replace(controller=cs)
+                if bool(cs.joy.exit_flag):
+                    print("operator exit", file=sys.stderr)
+                    break
+            elif args.velx != 0.0 and i == min(20, n_ticks // 4):
+                cs = iface.loop.controller
+                cs = cs.replace(
+                    ctrl=cs.ctrl.replace(
+                        movement_mode=jnp.ones((), jnp.int32)),
+                    joy=cs.joy.replace(velx=jnp.asarray(args.velx, dtype),
+                                       ctrl_state=jnp.ones((), jnp.int32)))
+                iface.loop = iface.loop.replace(controller=cs)
+            if tuner is not None:
+                iface.params = tuner.apply(iface.params)
+            t_tick = time.perf_counter()
+            iface.tick()
+            if args.bag:
+                jax.block_until_ready(iface.loop)
+                tick_wall_ms.append(
+                    (time.perf_counter() - t_tick) * 1e3)
+                records.append(jax.device_get(
+                    bag_mod.diag_from_loop(iface.loop)))
+    finally:
+        if profile_cm is not None:
+            jax.block_until_ready(iface.loop)
+            profile_cm.__exit__(None, None, None)
+        if tuner is not None:
+            tuner.close()
+        if joy_src is not None:
+            joy_src.close()
     wall = time.perf_counter() - t0
 
     loop = iface.loop
@@ -152,9 +208,16 @@ def main(argv=None):
         import numpy as np
         stacked = {k: np.stack([r[k] for r in records])
                    for k in records[0]}
+        # per-tick host wall time: the per-stage timing channel of the
+        # observability plan (SURVEY §5 tracing/profiling)
+        stacked["tick_wall_ms"] = np.asarray(tick_wall_ms)
         bag_mod.save_bag(args.bag, stacked,
                          meta={"dt": C.MPC_DT, "args": vars(args)})
         summary["bag"] = args.bag
+    if args.profile:
+        summary["profile"] = args.profile
+    if tuner is not None:
+        summary["tuning_updates"] = tuner.updates_applied
     print(json.dumps(summary))
     return 0 if summary["upright"] and z > 0.1 else 2
 
