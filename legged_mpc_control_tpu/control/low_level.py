@@ -39,8 +39,9 @@ def tau_ctrl_update(fbk, optimized_state, optimized_input, movement_mode,
 
     q_ik = kin.ik_legs(foot_target_rel, q_meas, params.rho_fix)
     q_ik = jnp.where(jnp.isnan(q_ik), q_meas, q_ik)     # NaN guard (:472-478)
-    dq_ik = jnp.linalg.solve(fbk.jac_foot, foot_vel_target_rel[..., None])
-    dq_ik = dq_ik[..., 0]
+    from legged_mpc_control_tpu.ops import la3
+
+    dq_ik = la3.solve3(fbk.jac_foot, foot_vel_target_rel)
     dq_ik = jnp.where(jnp.isnan(dq_ik), dq_meas, dq_ik)
 
     q_tgt = jnp.where(walking, q_ik, q_meas)

@@ -45,6 +45,11 @@ def raibert_footholds(root_pos, root_lin_vel, root_rot_mat_z,
         from legged_mpc_control_tpu.sim import terrain as terrain_mod
 
         tz = terrain_mod.height_at(terrain, target_world[:, :2])   # (4,)
-        target_world = target_world.at[:, 2].set(tz)
-        target_abs = target_abs.at[:, 2].set(tz - root_pos[2])
+        # aim slightly BELOW the map surface: the flat-ground path's
+        # default_foot_pos target naturally lands ~2-3 cm under the plane,
+        # and that penetration is what drives the swing PD firmly into
+        # contact — a target exactly AT the surface gives marginal
+        # touchdowns that destabilize the trot over a few seconds
+        target_world = target_world.at[:, 2].set(tz - 0.02)
+        target_abs = target_abs.at[:, 2].set(tz - 0.02 - root_pos[2])
     return target_abs, target_world

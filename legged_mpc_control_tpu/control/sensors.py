@@ -65,8 +65,10 @@ def sensor_update(fbk: Feedback, params: RobotParams,
     if joint_vel_tgt is not None:
         tau = tau - params.kd_foot[None, :] * (
             joint_vel_tgt.reshape(4, 3) - dq_legs)
-    force_rel = jnp.linalg.solve(jnp.swapaxes(jac, -1, -2), tau[..., None])
-    force_world = jnp.einsum("ab,lb->la", R, force_rel[..., 0])
+    from legged_mpc_control_tpu.ops import la3
+
+    force_rel = la3.solve3_t(jac, tau)
+    force_world = jnp.einsum("ab,lb->la", R, force_rel)
 
     return fbk.replace(
         root_rot_mat=R, root_euler=euler, root_rot_mat_z=Rz,

@@ -69,7 +69,7 @@ def controller_init(params: RobotParams, dtype=jnp.float32,
 
 def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
                     dt, use_ground_truth: bool = True,
-                    kf_type: int = None) -> ControllerState:
+                    kf_type: int = None, terrain=None) -> ControllerState:
     """Feedback-thread body: ingest raw sensors, run FK + contact detection +
     state estimation (reference: BaseInterface::fbk_update -> sensor_update ->
     estimation_update, BaseInterface.cpp:212-449).
@@ -162,10 +162,12 @@ def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
                           root_rot_mat_z=_so3.rot_z(eul[2]),
                           root_ang_vel=R @ fbk.imu_ang_vel)
 
-    # Raibert foothold targets (reference: BaseInterface.cpp:358-399)
+    # Raibert foothold targets (reference: BaseInterface.cpp:358-399);
+    # with a height field the foothold z snaps to the map (BASELINE
+    # config 4: height-map footholds)
     target_abs, target_world = raibert.raibert_footholds(
         fbk.root_pos, fbk.root_lin_vel, fbk.root_rot_mat_z,
-        cs.ctrl.root_lin_vel_d_rel, params)
+        cs.ctrl.root_lin_vel_d_rel, params, terrain=terrain)
     ctrl = cs.ctrl.replace(foot_pos_target_abs=target_abs,
                            foot_pos_target_world=target_world)
     return cs.replace(fbk=fbk, ctrl=ctrl, kf=kf, ekf=ekf,
@@ -217,9 +219,11 @@ def closed_loop_tick(loop: LoopState, params: RobotParams,
                      use_ground_truth: bool = True,
                      kf_type: int = None,
                      low_level_type: int = 0,
+                     terrain=None,
                      pdip_iters: int = 15) -> LoopState:
     """One full MPC period of closed-loop sim: mpc tick + `substeps`
-    low-level/sim steps."""
+    low-level/sim steps. Pass a sim.terrain.Terrain for height-field
+    ground (box-stepping, stairs — BASELINE config 4)."""
     dt_mpc = C.MPC_DT
     dt_ll = dt_mpc / substeps
     if kf_type is None:
@@ -230,20 +234,20 @@ def closed_loop_tick(loop: LoopState, params: RobotParams,
     grf_normal = jnp.where(loop.sim.contact,
                            _anchored_normal_force(loop, params), 0.0)
     cs = feedback_update(cs, _sim_sensors(loop.sim, params, grf_normal),
-                         params, dt_ll, kf_type=kf_type)
+                         params, dt_ll, kf_type=kf_type, terrain=terrain)
     cs = convex_mpc.mpc_tick(cs, params, pattern, dt_mpc,
                              horizon=horizon, pdip_iters=pdip_iters)
 
     def substep(carry, _):
         cs, sim = carry
         cs, tau, _safe = lowlevel_update(cs, params, low_level_type)
-        sim = srb_sim.sim_step(sim, tau, params, dt_ll)
+        sim = srb_sim.sim_step(sim, tau, params, dt_ll, terrain=terrain)
         grf_n = jnp.where(sim.contact,
                           _anchored_normal_force(
                               LoopState(controller=cs, sim=sim), params),
                           0.0)
         cs = feedback_update(cs, _sim_sensors(sim, params, grf_n), params,
-                             dt_ll, kf_type=kf_type)
+                             dt_ll, kf_type=kf_type, terrain=terrain)
         return (cs, sim), None
 
     (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
@@ -340,6 +344,7 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
                              solver: str = "riccati",
                              backend: str = None,
                              low_level_type: int = 0,
+                             terrain=None,
                              warm=None):
     """Scenario-batched closed-loop tick. Same semantics as
     `closed_loop_tick` vmapped over a leading scenario axis, EXCEPT the QP
@@ -363,11 +368,15 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
 
     v_anf = jax.vmap(_anchored_normal_force)
     v_sensors = jax.vmap(_sim_sensors)
+    # terrain is SHARED across scenarios (closed over, not vmapped); for
+    # per-scenario terrain randomization, vmap these helpers explicitly
     v_fb = jax.vmap(
         lambda cs, raw, p: feedback_update(cs, raw, p, dt_ll,
-                                           kf_type=kf_type))
+                                           kf_type=kf_type,
+                                           terrain=terrain))
     v_ll = jax.vmap(lambda cs, p: lowlevel_update(cs, p, low_level_type))
-    v_sim = jax.vmap(lambda sim, tau, p: srb_sim.sim_step(sim, tau, p, dt_ll))
+    v_sim = jax.vmap(lambda sim, tau, p: srb_sim.sim_step(
+        sim, tau, p, dt_ll, terrain=terrain))
 
     cs = loop.controller
     grf_normal = jnp.where(loop.sim.contact, v_anf(loop, params), 0.0)
@@ -395,14 +404,13 @@ def _anchored_normal_force(loop: LoopState, params: RobotParams):
     """Foot-sensor model: normal force the anchored legs transmit, from the
     last commanded torques (quasi-static)."""
     from legged_mpc_control_tpu.models import kinematics as kin
-    from legged_mpc_control_tpu.ops import so3
+    from legged_mpc_control_tpu.ops import la3, so3
 
     sim = loop.sim
     tau = loop.controller.ctrl.joint_tau_tgt.reshape(4, 3)
     q_legs = sim.q.reshape(4, 3)
     jac = kin.jac_legs(q_legs, params.rho_fix)
-    f_rel = jnp.linalg.solve(jnp.swapaxes(jac, -1, -2),
-                             (-tau)[..., None])[..., 0]
+    f_rel = la3.solve3_t(jac, -tau)
     R = so3.quat_to_rotmat(sim.quat)
     fz = jnp.einsum("ab,lb->la", R, f_rel)[:, 2]
     return jnp.maximum(fz, 0.0)

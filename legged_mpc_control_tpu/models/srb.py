@@ -40,7 +40,9 @@ def discrete_B(mass, trunk_inertia, root_rot_mat, foot_pos_abs, dt):
     """
     dtype = root_rot_mat.dtype
     I_world = root_rot_mat @ trunk_inertia @ root_rot_mat.T
-    I_inv = jnp.linalg.inv(I_world)
+    from legged_mpc_control_tpu.ops import la3
+
+    I_inv = la3.inv3(I_world)
     torque_blocks = jnp.einsum("ab,lbc->lac", I_inv, skew(foot_pos_abs))
     B = jnp.zeros((MPC_STATE_DIM, 3 * NUM_LEG), dtype=dtype)
     for i in range(NUM_LEG):
@@ -68,6 +70,8 @@ def srb_continuous_dynamics(pos, rotmat, omega_world, vel, grf_world,
     I_world = rotmat @ trunk_inertia @ rotmat.T
     torque = jnp.sum(jnp.cross(foot_pos_world - pos[None, :], grf_world),
                      axis=-2)
-    omega_dot = jnp.linalg.solve(
+    from legged_mpc_control_tpu.ops import la3
+
+    omega_dot = la3.solve3(
         I_world, torque - jnp.cross(omega_world, I_world @ omega_world))
     return v_dot, omega_dot

@@ -32,9 +32,6 @@ order of magnitude slower. Produces iterates identical (up to roundoff) to
 pdip.solve_qp_pdip_batched on the condensed QP.
 """
 
-from functools import partial as _partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 
@@ -50,7 +47,6 @@ from legged_mpc_control_tpu.mpc.pdip import (
 
 NX = 12
 
-
 # --- batch-in-lanes small-matrix algebra -----------------------------------
 # Operands are (..., n, n, B) / (..., n, B); the loops below unroll the tiny
 # contraction dimension so each term is a broadcasted elementwise FMA over
@@ -65,7 +61,6 @@ def _mm(A, C):
                      * C[..., j, :, :][..., None, :, :])
     return acc
 
-
 def _mtm(A, C):
     """A^T @ C, both (..., n, n, B)."""
     n = A.shape[-3]
@@ -75,7 +70,6 @@ def _mtm(A, C):
                      * C[..., j, :, :][..., None, :, :])
     return acc
 
-
 def _mv(A, x):
     """A @ x: (..., n, n, B), (..., n, B) -> (..., n, B)."""
     n = A.shape[-2]
@@ -84,7 +78,6 @@ def _mv(A, x):
         acc = acc + A[..., :, j, :] * x[..., j, :][..., None, :]
     return acc
 
-
 def _mtv(A, x):
     """A^T @ x: (..., n, n, B), (..., n, B) -> (..., n, B)."""
     n = A.shape[-3]
@@ -92,7 +85,6 @@ def _mtv(A, x):
     for j in range(1, n):
         acc = acc + A[..., j, :, :] * x[..., j, :][..., None, :]
     return acc
-
 
 def _chol_lanes(A):
     """Lower Cholesky of (n, n, B) SPD, fully unrolled (n static, small).
@@ -117,7 +109,6 @@ def _chol_lanes(A):
                                for j in range(n)]) for i in range(n)])
     return Lt
 
-
 def _cho_solve_lanes(L, M):
     """Solve (L L^T) Y = M with L (n, n, B) lower, M (n, m, B) or (n, B)."""
     vec = M.ndim == 2
@@ -138,7 +129,6 @@ def _cho_solve_lanes(L, M):
         zs[i] = acc / L[i, i][None, :]
     out = jnp.stack(zs)
     return out[:, 0, :] if vec else out
-
 
 def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
                              r_weights, mu, fz_max, dt, *, iters=18,

@@ -121,7 +121,9 @@ def euler_zyx_rates_from_omega_world(yaw, pitch, omega_world):
         jnp.stack([z, cy, sy * cp], axis=-1),
         jnp.stack([o, z, -sp], axis=-1),
     ], axis=-2)
-    return jnp.linalg.solve(T, omega_world[..., None])[..., 0]
+    from legged_mpc_control_tpu.ops import la3
+
+    return la3.solve3(T, omega_world)
 
 
 def quat_mul(q1, q2):

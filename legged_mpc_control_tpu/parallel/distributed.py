@@ -152,6 +152,50 @@ def make_sweep(pattern: gait_mod.GaitPattern, mesh: Mesh, *, horizon=10,
     return sweep
 
 
+def save_sharded(path: str, tree, step: int = 0):
+    """Checkpoint a globally-sharded pytree: each process writes the
+    concatenation of ITS addressable shards to `path.pN` — no host ever
+    gathers the global batch (utils/checkpoint.py handles the pickling).
+    Resume with `load_sharded` on the same process layout."""
+    from legged_mpc_control_tpu.utils import checkpoint as ckpt
+
+    def local(x):
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+
+    ckpt.save_checkpoint(f"{path}.p{jax.process_index()}",
+                         jax.tree.map(local, tree), step=step)
+
+
+def load_sharded(path: str, mesh: Mesh, step_only: bool = False):
+    """Restore a `save_sharded` checkpoint onto the global mesh (same
+    process count / local device count). Returns (tree, step)."""
+    from legged_mpc_control_tpu.utils import checkpoint as ckpt
+
+    local_tree, step = ckpt.load_checkpoint(
+        f"{path}.p{jax.process_index()}")
+    if step_only:
+        return None, step
+    local_devs = [d for d in mesh.devices.reshape(-1)
+                  if d.process_index == jax.process_index()]
+    n_loc = len(local_devs)
+    n_glob = mesh.devices.size
+
+    def assemble(x):
+        x = np.asarray(x)
+        if x.shape[0] % n_loc:
+            raise ValueError(f"shard axis {x.shape[0]} % {n_loc}")
+        pieces = np.split(x, n_loc)
+        arrs = [jax.device_put(p, d) for p, d in zip(pieces, local_devs)]
+        gshape = (x.shape[0] * n_glob // n_loc,) + x.shape[1:]
+        spec = P((HOST_AXIS, CHIP_AXIS), *([None] * (x.ndim - 1)))
+        return jax.make_array_from_single_device_arrays(
+            gshape, NamedSharding(mesh, spec), arrs)
+
+    return jax.tree.map(assemble, local_tree), step
+
+
 def weak_scaling_report(pattern: gait_mod.GaitPattern,
                         params: RobotParams, *, per_device_batch=64,
                         horizon=10, n_ticks=5, pdip_iters=15,

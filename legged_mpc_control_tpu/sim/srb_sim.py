@@ -28,7 +28,7 @@ from flax import struct
 from legged_mpc_control_tpu.config import RobotParams
 from legged_mpc_control_tpu.constants import GRAVITY_EST
 from legged_mpc_control_tpu.models import kinematics as kin
-from legged_mpc_control_tpu.ops import so3
+from legged_mpc_control_tpu.ops import la3, so3
 
 LEG_INERTIA = 0.04        # effective per-joint inertia of a light leg, kg m^2
 LEG_DAMPING = 0.05        # viscous joint damping, N m s/rad
@@ -100,8 +100,9 @@ def sim_step(s: SimState, tau: jnp.ndarray, params: RobotParams,
     foot_world = jnp.einsum("ab,lb->la", R, foot_rel) + s.pos[None, :]
 
     # realized ground reaction (world) from commanded torques, contact legs
-    f_rel = jnp.linalg.solve(jnp.swapaxes(jac, -1, -2),
-                             (-tau_legs)[..., None])[..., 0]
+    # (closed-form 3x3 solves: the batched-tiny library calls dominate the
+    # whole substep otherwise, ops/la3.py)
+    f_rel = la3.solve3_t(jac, -tau_legs)
     f_world = jnp.einsum("ab,lb->la", R, f_rel)
     # unilateral + friction-cone projection
     fz = jnp.maximum(f_world[:, 2], 0.0)
@@ -118,7 +119,13 @@ def sim_step(s: SimState, tau: jnp.ndarray, params: RobotParams,
         ground_h = terrain_mod.height_at(terrain, foot_world[:, :2])  # (4,)
     else:
         ground_h = jnp.full((4,), terrain_height, dtype=dtype)
-    touching = foot_world[:, 2] <= ground_h
+    # engage only on near-surface crossings FROM ABOVE: when a swing foot's
+    # xy drifts under a raised cell (box/stair riser) its z can sit far
+    # below the local surface — anchoring there would teleport the foot up
+    # the ledge mid-swing and churn contact on/off (the physical analog is
+    # hitting the riser wall, which transmits no support)
+    touching = (foot_world[:, 2] <= ground_h) & (
+        foot_world[:, 2] >= ground_h - 0.02)
     new_contact = jnp.where(s.contact, fz > CONTACT_RELEASE_FZ, touching)
     anchor = jnp.where(
         (~s.contact & new_contact)[:, None],
@@ -131,7 +138,7 @@ def sim_step(s: SimState, tau: jnp.ndarray, params: RobotParams,
     acc = jnp.sum(grf, axis=0) / params.mass + g_vec
     I_world = R @ params.trunk_inertia @ R.T
     torque = jnp.sum(jnp.cross(anchor - s.pos[None, :], grf), axis=0)
-    omega_dot = jnp.linalg.solve(
+    omega_dot = la3.solve3(
         I_world, torque - jnp.cross(s.omega, I_world @ s.omega))
 
     vel = s.vel + acc * dt
@@ -153,8 +160,7 @@ def sim_step(s: SimState, tau: jnp.ndarray, params: RobotParams,
         -vel[None, :] - jnp.cross(jnp.broadcast_to(omega, (4, 3)),
                                   anchor - pos[None, :]))
     jac_new = kin.jac_legs(q_stance, params.rho_fix)
-    dq_stance = jnp.linalg.solve(jac_new,
-                                 foot_vel_rel_closure[..., None])[..., 0]
+    dq_stance = la3.solve3(jac_new, foot_vel_rel_closure)
 
     q_new = jnp.where(new_contact[:, None], q_stance, q_swing)
     dq_new = jnp.where(new_contact[:, None], dq_stance, dq_swing)

@@ -31,6 +31,12 @@ def main(argv=None):
     ap.add_argument("--report-efficiency", action="store_true")
     ap.add_argument("--per-device-batch", type=int, default=64,
                     help="weak-scaling load per device for the report")
+    ap.add_argument("--checkpoint", default=None, metavar="PATH",
+                    help="write a per-host shard checkpoint of the final "
+                         "loop state to PATH.pN (resume with --resume)")
+    ap.add_argument("--resume", default=None, metavar="PATH",
+                    help="restore the loop state from a --checkpoint "
+                         "(same process/device layout) and continue")
     args = ap.parse_args(argv)
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
@@ -58,9 +64,13 @@ def main(argv=None):
     pattern = gait.trot_pattern(dtype)
 
     mesh = dist.global_mesh()
-    loop = dist.device_sharded_loop(params, args.scenarios,
-                                    jax.random.PRNGKey(0), mesh,
-                                    dtype=dtype)
+    start_tick = 0
+    if args.resume:
+        loop, start_tick = dist.load_sharded(args.resume, mesh)
+    else:
+        loop = dist.device_sharded_loop(params, args.scenarios,
+                                        jax.random.PRNGKey(0), mesh,
+                                        dtype=dtype)
     params_g = dist.replicate_global(mesh, params)
     sweep = dist.make_sweep(pattern, mesh, horizon=args.horizon,
                             n_ticks=args.ticks, pdip_iters=args.iters,
@@ -68,11 +78,15 @@ def main(argv=None):
 
     import time
     t0 = time.perf_counter()
-    _final, metrics = sweep(loop, params_g)
+    final, metrics = sweep(loop, params_g)
     wall = time.perf_counter() - t0
+    if args.checkpoint:
+        dist.save_sharded(args.checkpoint, final,
+                          step=start_tick + args.ticks)
 
     out = {
         "scenarios": args.scenarios,
+        "start_tick": start_tick,
         "hosts": jax.process_count(),
         "devices": len(jax.devices()),
         "ticks": args.ticks,

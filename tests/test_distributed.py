@@ -64,6 +64,23 @@ print("METRICS" + str(pid) + " " + json.dumps(metrics), flush=True)
 assert metrics["upright_frac"] == 1.0, metrics
 assert 0.2 < metrics["mean_height"] < 0.4, metrics
 
+# sharded checkpoint round trip: each host persists only its own shards
+import numpy as np
+import tempfile
+ckpt_path = os.path.join(tempfile.gettempdir(), f"sweep_ckpt_{port}")
+dist.save_sharded(ckpt_path, final, step=3)
+restored, step = dist.load_sharded(ckpt_path, mesh)
+assert step == 3
+
+def local_concat(x):
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards])
+
+np.testing.assert_allclose(local_concat(restored.sim.pos),
+                           local_concat(final.sim.pos), atol=0)
+print("CKPT" + str(pid) + " ok", flush=True)
+
 rep = dist.weak_scaling_report(pattern, params, per_device_batch=2,
                                horizon=5, n_ticks=2, pdip_iters=6,
                                reps=1, dtype=dtype)

@@ -101,3 +101,25 @@ def test_savgol_smoother():
     st = filters.savgol_init(W, value_shape=(4, 3), dtype=jnp.float64)
     st, y = filters.savgol_update(st, jnp.ones((4, 3)), order=2)
     assert y.shape == (4, 3)
+
+
+def test_la3_closed_form_matches_library():
+    """Adjugate 3x3 solve/inv (ops/la3.py) vs jnp.linalg on random batches."""
+    from legged_mpc_control_tpu.ops import la3
+
+    rng = np.random.default_rng(3)
+    A = rng.standard_normal((5, 4, 3, 3)) + 3 * np.eye(3)
+    b = rng.standard_normal((5, 4, 3))
+    Bm = rng.standard_normal((5, 4, 3, 2))
+    Aj = jnp.asarray(A)
+    np.testing.assert_allclose(np.asarray(la3.inv3(Aj)),
+                               np.linalg.inv(A), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(la3.solve3(Aj, jnp.asarray(b))),
+                               np.linalg.solve(A, b[..., None])[..., 0],
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(la3.solve3(Aj, jnp.asarray(Bm))),
+                               np.linalg.solve(A, Bm), atol=1e-10)
+    At = np.swapaxes(A, -1, -2)
+    np.testing.assert_allclose(np.asarray(la3.solve3_t(Aj, jnp.asarray(b))),
+                               np.linalg.solve(At, b[..., None])[..., 0],
+                               atol=1e-10)
