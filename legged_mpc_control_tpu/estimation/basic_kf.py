@@ -14,6 +14,7 @@ fuses into the jitted control step.
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -37,6 +38,34 @@ class KfState:
     x: Any          # (18,)
     P: Any          # (18,18)
     initialized: Any  # bool scalar
+
+
+def sequential_update(xbar, Pbar, H, err0, rdiag):
+    """Kalman measurement update by sequential scalar rows.
+
+    With diagonal measurement noise this is algebraically identical to the
+    joint update (classic sequential processing): each row i applies a
+    rank-1 correction with innovation err0_i - H_i (x - xbar), all
+    linearized at xbar. Every step is an (n,)-vector op that fuses under
+    vmap — no m x m factorization anywhere.
+
+    Args: H (m,n), err0 (m,) = y - h(xbar), rdiag (m,).
+    Returns (x_new, P_new)."""
+    n = xbar.shape[-1]
+
+    def row(carry, inp):
+        dx, P = carry
+        h, e0, r = inp
+        Ph = P @ h
+        s = h @ Ph + r
+        K = Ph / s
+        dx = dx + K * (e0 - h @ dx)
+        P = P - jnp.outer(K, Ph)
+        return (dx, P), None
+
+    (dx, P_new), _ = jax.lax.scan(
+        row, (jnp.zeros((n,), dtype=xbar.dtype), Pbar), (H, err0, rdiag))
+    return xbar + dx, P_new
 
 
 def _measurement_matrix(dtype):
@@ -100,7 +129,6 @@ def kf_update(kf: KfState, dt, root_rot_mat, imu_acc, imu_ang_vel,
         (infl * SENSOR_NOISE_ZFOOT).astype(dtype)
         if assume_flat_ground else jnp.full((4,), 1e5, dtype=dtype),
     ])
-    R = jnp.diag(rdiag)
 
     # predict (reference: :113-115)
     xbar = A @ x
@@ -119,14 +147,11 @@ def kf_update(kf: KfState, dt, root_rot_mat, imu_acc, imu_ang_vel,
     y = jnp.concatenate([fk_world.reshape(-1), vel_meas.reshape(-1),
                          height_meas])
 
-    # update (reference: :133-143)
-    S = C @ Pbar @ C.T + R
-    S = 0.5 * (S + S.T)
-    err = y - yhat
-    Serr = jnp.linalg.solve(S, err)
-    x_new = xbar + Pbar @ (C.T @ Serr)
-    SC = jnp.linalg.solve(S, C)
-    P_new = Pbar - Pbar @ C.T @ SC @ Pbar
+    # update — SEQUENTIAL scalar processing (exactly equivalent to the
+    # reference's joint 28x28 solve because R is diagonal; avoids the
+    # batched-small library solve that dominates TPU rollouts, see
+    # ops/la3.py for the same pathology at 3x3)
+    x_new, P_new = sequential_update(xbar, Pbar, C, y - yhat, rdiag)
     P_new = 0.5 * (P_new + P_new.T)
 
     # xy-drift suppression (reference: :146-150)

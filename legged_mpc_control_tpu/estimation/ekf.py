@@ -197,14 +197,12 @@ def ekf_update(ekf: EkfState, dt, imu_acc, imu_gyro, foot_pos_rel,
         (swing_infl * noise.meas_height).astype(dtype),
         jnp.full((4,), 0.02, dtype=dtype)
         if assume_flat_ground else jnp.full((4,), 1e6, dtype=dtype)])
-    R = jnp.diag(rdiag)
 
-    S = H @ Pbar @ H.T + R
-    S = 0.5 * (S + S.T)
-    err = y - yhat
-    K = Pbar @ jnp.linalg.solve(S, H).T
-    x_new = xbar + K @ err
-    P_new = (jnp.eye(STATE_SIZE, dtype=dtype) - K @ H) @ Pbar
+    # sequential scalar update (diagonal R -> identical to the joint
+    # 32-row solve; no library factorization, see basic_kf.py)
+    from legged_mpc_control_tpu.estimation.basic_kf import sequential_update
+
+    x_new, P_new = sequential_update(xbar, Pbar, H, y - yhat, rdiag)
     P_new = 0.5 * (P_new + P_new.T)
 
     new = EkfState(x=x_new, P=P_new, initialized=ekf.initialized)
@@ -227,11 +225,9 @@ def ekf_update_with_opti(ekf: EkfState, opti_pos, opti_euler,
     rdiag = jnp.concatenate([
         jnp.full((3,), noise.opti_pos, dtype=dtype),
         jnp.full((3,), noise.opti_euler, dtype=dtype)])
-    S = H @ P @ H.T + jnp.diag(rdiag)
-    S = 0.5 * (S + S.T)
-    K = P @ jnp.linalg.solve(S, H).T
-    x_new = x + K @ err
-    P_new = (jnp.eye(STATE_SIZE, dtype=dtype) - K @ H) @ P
+    from legged_mpc_control_tpu.estimation.basic_kf import sequential_update
+
+    x_new, P_new = sequential_update(x, P, H, err, rdiag)
     return EkfState(x=x_new, P=0.5 * (P_new + P_new.T),
                     initialized=ekf.initialized)
 

@@ -97,3 +97,28 @@ def test_vmap_over_scenarios():
             k, DT, R, a, jnp.zeros(3, DTYPE), foot_rel,
             jnp.zeros((4, 3), DTYPE), jnp.ones(4, DTYPE)))(kfs, imu_acc)
     assert out[1].shape == (4, 3)
+
+
+def test_sequential_update_equals_joint_solve():
+    """Sequential scalar processing is algebraically identical to the joint
+    S = H P H^T + R solve when R is diagonal."""
+    rng = np.random.default_rng(0)
+    n, m = 18, 28
+    A = rng.standard_normal((n, n))
+    P = A @ A.T + np.eye(n)
+    H = rng.standard_normal((m, n))
+    rdiag = rng.uniform(0.01, 1.0, m)
+    err = rng.standard_normal(m)
+    xbar = rng.standard_normal(n)
+
+    # joint update (textbook)
+    S = H @ P @ H.T + np.diag(rdiag)
+    K = P @ H.T @ np.linalg.inv(S)
+    x_joint = xbar + K @ err
+    P_joint = (np.eye(n) - K @ H) @ P
+
+    x_seq, P_seq = basic_kf.sequential_update(
+        jnp.asarray(xbar), jnp.asarray(P), jnp.asarray(H),
+        jnp.asarray(err), jnp.asarray(rdiag))
+    np.testing.assert_allclose(np.asarray(x_seq), x_joint, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(P_seq), P_joint, atol=1e-9)
