@@ -46,6 +46,11 @@ from legged_mpc_control_tpu.mpc.pdip import (
 )
 
 NX = 12
+# stage-scan unroll factor: the per-stage bodies are tiny fused
+# elementwise blocks; unrolling lets XLA overlap/fuse across stages
+# instead of paying a scan-iteration boundary every 12x12 block
+STAGE_UNROLL = 1   # measured: unroll>1 is ~40% SLOWER on v5e (register/VMEM
+                   # pressure beats the scan-boundary saving)
 
 # --- batch-in-lanes small-matrix algebra -----------------------------------
 # Operands are (..., n, n, B) / (..., n, B); the loops below unroll the tiny
@@ -188,7 +193,8 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
             xn = _mv(Ak, x) + _mv(Bk, uk) + d_aff
             return xn, xn
 
-        _, X = jax.lax.scan(step, x0_t, (A_t, B_t, u_t))
+        _, X = jax.lax.scan(step, x0_t, (A_t, B_t, u_t),
+                            unroll=STAGE_UNROLL)
         return X
 
     def adjoint(qx_t):
@@ -202,7 +208,8 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
             return pk, pk
 
         _, psi = jax.lax.scan(step, jnp.zeros((NX, B), dtype),
-                              (A_next[::-1], qx_t[::-1]))
+                              (A_next[::-1], qx_t[::-1]),
+                              unroll=STAGE_UNROLL)
         return psi[::-1]
 
     def factor(Hu_t):
@@ -224,7 +231,8 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
 
         P0 = jnp.zeros((NX, NX, B), dtype)
         _, caches = jax.lax.scan(step, P0,
-                                 (A_t[::-1], B_t[::-1], Hu_t[::-1]))
+                                 (A_t[::-1], B_t[::-1], Hu_t[::-1]),
+                                 unroll=STAGE_UNROLL)
         return jax.tree.map(lambda c: c[::-1], caches)
 
     def lqr_solve(caches, g_t):
@@ -241,7 +249,8 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
 
         _, kff_t = jax.lax.scan(
             back, jnp.zeros((NX, B), dtype),
-            (A_t[::-1], B_t[::-1], L_t[::-1], Hux_t[::-1], g_t[::-1]))
+            (A_t[::-1], B_t[::-1], L_t[::-1], Hux_t[::-1], g_t[::-1]),
+            unroll=STAGE_UNROLL)
         kff_t = kff_t[::-1]
 
         def fwd(dx, inp):
@@ -251,7 +260,8 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
             return dxn, du
 
         _, du_t = jax.lax.scan(fwd, jnp.zeros((NX, B), dtype),
-                               (A_t, B_t, K_t, kff_t))
+                               (A_t, B_t, K_t, kff_t),
+                               unroll=STAGE_UNROLL)
         return du_t
 
     def dual_residual(u_t, lam):

@@ -1,0 +1,59 @@
+"""Fully-fused Pallas Riccati IPM kernel vs the XLA reference solver.
+
+Runs the kernel in interpreter mode on CPU (same code path the TPU
+compiles) and pins it against mpc/riccati.py within the f32 envelope.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import __graft_entry__ as ge
+from legged_mpc_control_tpu.mpc import riccati
+from legged_mpc_control_tpu.ops import riccati_pallas as rp
+
+
+def _problem(batch, horizon):
+    params, x0, contact = ge._make_problem_batch(batch, horizon,
+                                                 jnp.float32)
+    lin = jax.jit(ge._lin_batch_fn(params, horizon))
+    x_ref, A_seq, Bm = lin(x0)
+    return params, x0, contact, x_ref, A_seq, Bm
+
+
+def test_fused_matches_xla_riccati():
+    params, x0, contact, x_ref, A_seq, Bm = _problem(6, 10)
+    args = (x0, x_ref, A_seq, Bm, contact,
+            jnp.asarray(params.q_weights, jnp.float32),
+            jnp.asarray(params.r_weights, jnp.float32),
+            jnp.float32(params.mu), jnp.float32(params.fz_max))
+    want = riccati.solve_qp_riccati_batched(*args, 0.01, iters=15).u
+    got = rp.solve_qp_riccati_fused(*args, 0.01, iters=15, interpret=True)
+    # two f32 orderings of the same algorithm: ~1e-4 relative on ~100 N
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2)
+    # constraint sanity on the fused output
+    u = np.asarray(got).reshape(6, 10, 4, 3)
+    fzv = u[..., 2]
+    assert np.all(fzv > -1e-4)
+    mu_ = float(params.mu)
+    assert np.all(np.abs(u[..., 0]) <= mu_ * fzv + 1e-3)
+
+
+def test_fused_pads_odd_batch():
+    """Batch not divisible by the 128-lane tile pads correctly."""
+    params, x0, contact, x_ref, A_seq, Bm = _problem(5, 10)
+    args = (x0, x_ref, A_seq, Bm, contact,
+            jnp.asarray(params.q_weights, jnp.float32),
+            jnp.asarray(params.r_weights, jnp.float32),
+            jnp.float32(params.mu), jnp.float32(params.fz_max))
+    got = rp.solve_qp_riccati_fused(*args, 0.01, iters=12, interpret=True)
+    assert got.shape == (5, 120)
+    assert bool(jnp.all(jnp.isfinite(got)))
+
+
+def test_fits_guard():
+    assert rp.fits(10)
+    assert rp.fits(12)
+    assert not rp.fits(30)
+    assert not rp.fits(10, jnp.float64)
