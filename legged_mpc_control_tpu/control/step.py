@@ -255,6 +255,52 @@ def closed_loop_tick(loop: LoopState, params: RobotParams,
     return LoopState(controller=cs, sim=sim)
 
 
+@partial(jax.jit, static_argnames=("horizon", "substeps", "kf_type",
+                                   "low_level_type", "pdip_iters",
+                                   "n_inner"))
+def closed_loop_tick_wb(loop: LoopState, params: RobotParams,
+                        pattern: gait_mod.GaitPattern, model, *,
+                        horizon: int = 10,
+                        substeps: int = C.SUBSTEPS_PER_MPC_TICK,
+                        kf_type: int = 0,
+                        low_level_type: int = 0,
+                        terrain=None,
+                        pdip_iters: int = 15,
+                        n_inner: int = 4) -> LoopState:
+    """One MPC period of closed loop against the ARTICULATED whole-body
+    simulator (sim/wb_sim.py) — the Gazebo-fidelity twin: torques act
+    through full rigid-body dynamics, contact is physical (flight phases,
+    step-down, impacts), and the foot sensor reads real normal forces
+    (reference: GazeboInterface.cpp:99-118 + the Gazebo physics engine).
+
+    `loop.sim` must be a wb_sim.WbSimState; `model` a whole_body.WbModel.
+    """
+    from legged_mpc_control_tpu.sim import wb_sim
+
+    dt_mpc = C.MPC_DT
+    dt_ll = dt_mpc / substeps
+
+    cs = loop.controller
+    cs = feedback_update(cs, wb_sim.wb_read_sensors(loop.sim, model),
+                         params, dt_ll, kf_type=kf_type, terrain=terrain)
+    cs = convex_mpc.mpc_tick(cs, params, pattern, dt_mpc,
+                             horizon=horizon, pdip_iters=pdip_iters)
+
+    def substep(carry, _):
+        cs, sim = carry
+        cs, tau, _safe = lowlevel_update(cs, params, low_level_type)
+        sim = wb_sim.wb_sim_step(sim, tau, model, params, dt_ll,
+                                 n_inner=n_inner, terrain=terrain)
+        cs = feedback_update(cs, wb_sim.wb_read_sensors(sim, model),
+                             params, dt_ll, kf_type=kf_type,
+                             terrain=terrain)
+        return (cs, sim), None
+
+    (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
+                                length=substeps)
+    return LoopState(controller=cs, sim=sim)
+
+
 @partial(jax.jit, static_argnames=("stand_policy", "walk_policy",
                                    "substeps", "kf_type",
                                    "low_level_type"))
