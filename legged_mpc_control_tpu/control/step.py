@@ -175,7 +175,7 @@ def feedback_update(cs: ControllerState, sensors_raw, params: RobotParams,
 
 
 def lowlevel_update(cs: ControllerState, params: RobotParams,
-                    low_level_type: int = 0):
+                    low_level_type: int = 0, wb_model=None):
     """Control-thread body: GRF mapping + swing IK + safety + PD torque
     (reference: ctrl_update, GazeboInterface.cpp:63-88).
 
@@ -186,6 +186,8 @@ def lowlevel_update(cs: ControllerState, params: RobotParams,
           BaseInterface.cpp:502-557; compiled-but-disabled there, a live
           selectable path here) with the IK joint PD targets kept on top,
           as the reference's workspace swing mode does (:531-543).
+    wb_model: whole_body.WbModel the WBC linearizes against (defaults to
+          A1; select per robot with models.whole_body.wb_model_for).
     """
     q_tgt, dq_tgt, tau_ff = low_level.tau_ctrl_update(
         cs.fbk, cs.ctrl.optimized_state, cs.ctrl.optimized_input,
@@ -193,8 +195,9 @@ def lowlevel_update(cs: ControllerState, params: RobotParams,
     if low_level_type == 1:
         from legged_mpc_control_tpu.control import wbc as wbc_mod
         from legged_mpc_control_tpu.models import whole_body as wb
-        tau_ff, _F = wbc_mod.wbc_from_controller(
-            cs.fbk, cs.ctrl, wb.a1_wb_model())
+        if wb_model is None:
+            wb_model = wb.a1_wb_model()
+        tau_ff, _F = wbc_mod.wbc_from_controller(cs.fbk, cs.ctrl, wb_model)
     ctrl = cs.ctrl.replace(joint_ang_tgt=q_tgt, joint_vel_tgt=dq_tgt,
                            joint_tau_tgt=tau_ff)
     tau = low_level.pd_torque(cs.fbk.joint_pos, cs.fbk.joint_vel,
@@ -288,7 +291,8 @@ def closed_loop_tick_wb(loop: LoopState, params: RobotParams,
 
     def substep(carry, _):
         cs, sim = carry
-        cs, tau, _safe = lowlevel_update(cs, params, low_level_type)
+        cs, tau, _safe = lowlevel_update(cs, params, low_level_type,
+                                         wb_model=model)
         sim = wb_sim.wb_sim_step(sim, tau, model, params, dt_ll,
                                  n_inner=n_inner, terrain=terrain)
         cs = feedback_update(cs, wb_sim.wb_read_sensors(sim, model),

@@ -116,6 +116,80 @@ def a1_wb_model() -> WbModel:
     )
 
 
+def go1_wb_model() -> WbModel:
+    """Go1 link parameters. reference: urdf/go1_description/xacro/const.xacro
+    with the per-leg mirroring conventions of xacro/leg.xacro:48-171
+    (hip COM/products mirrored in y and x, thigh in y, calf unmirrored;
+    0.06 kg foot sphere lumped into the calf as in `a1_wb_model`).
+
+    Geometry: leg_offset (0.1881, 0.04675), thigh_offset 0.08,
+    thigh/calf length 0.213 (const.xacro:17-21)."""
+    mirrors = [1.0, -1.0, 1.0, -1.0]       # FL, FR, RL, RR
+    fronts = [1.0, 1.0, -1.0, -1.0]
+    leg_off_x, leg_off_y = 0.1881, 0.04675
+    thigh_off, thigh_len, calf_len = 0.08, 0.213, 0.213
+
+    hip_origin, hfe_origin = [], []
+    link_com, link_inertia, link_mass = [], [], []
+    for m, f in zip(mirrors, fronts):
+        hip_origin.append([leg_off_x * f, leg_off_y * m, 0.0])
+        hfe_origin.append([0.0, thigh_off * m, 0.0])
+        hip_com = [-0.00541 * f, -0.00074 * m, 0.000006]
+        thigh_com = [-0.003468, -0.018947 * m, -0.032736]
+        calf_m, foot_m = 0.131, 0.06
+        calf_com_own = np.array([0.006286, 0.001307, -0.122269])
+        foot_pos = np.array([0.0, 0.0, -calf_len])
+        lumped_m = calf_m + foot_m
+        calf_com = (calf_m * calf_com_own + foot_m * foot_pos) / lumped_m
+        link_com.append([hip_com, thigh_com, list(calf_com)])
+        link_mass.append([0.591, 0.92, lumped_m])
+        hip_I = _mirrored_inertia(0.000374268192, 0.000036844422,
+                                  -0.000000986754, 0.000635923669,
+                                  -0.000001172894, 0.000457647394, m, f)
+        thigh_I = _mirrored_inertia(0.005851561134, 0.000001783284,
+                                    0.000328291374, 0.005596155105,
+                                    0.000021430713, 0.00107157026, m, 1.0)
+        calf_I_own = _mirrored_inertia(0.002939186297, 0.000001440899,
+                                       -0.000105359550, 0.00295576935,
+                                       -0.000024397752, 0.000030273372,
+                                       1.0, 1.0)
+
+        def shift(I, mass, r):
+            r = np.asarray(r)
+            return I + mass * (np.dot(r, r) * np.eye(3) - np.outer(r, r))
+        # foot sphere's own inertia 2/5 m r^2 (leg.xacro:168-170)
+        foot_I = np.eye(3) * (0.4 * foot_m * 0.02 ** 2)
+        calf_I = (shift(calf_I_own, calf_m, calf_com_own - calf_com)
+                  + shift(foot_I, foot_m, foot_pos - calf_com))
+        link_inertia.append([hip_I, thigh_I, calf_I])
+
+    return WbModel(
+        trunk_mass=np.array(5.204),
+        trunk_com=np.array([0.0223, 0.002, -0.0005]),
+        trunk_inertia=np.array([
+            [0.0168352186, 0.0004636141, 0.0002367952],
+            [0.0004636141, 0.0656071082, 0.000036671],
+            [0.0002367952, 0.000036671, 0.0742720659]]),
+        hip_origin=np.array(hip_origin),
+        hfe_origin=np.array(hfe_origin),
+        kfe_origin=np.tile([0.0, 0.0, -thigh_len], (4, 1)),
+        foot_origin=np.tile([0.0, 0.0, -calf_len], (4, 1)),
+        link_mass=np.array(link_mass),
+        link_com=np.array(link_com),
+        link_inertia=np.array(link_inertia),
+    )
+
+
+def wb_model_for(robot: str) -> WbModel:
+    """Whole-body model by robot name — the config-tier selector the
+    reference drives with /robot_type (reference: main.cpp:36-44)."""
+    if robot == "a1":
+        return a1_wb_model()
+    if robot == "go1":
+        return go1_wb_model()
+    raise ValueError(f"unknown robot {robot!r}")
+
+
 def _rx(a):
     c, s = jnp.cos(a), jnp.sin(a)
     return jnp.array([[1., 0., 0.], [0., c, -s], [0., s, c]])

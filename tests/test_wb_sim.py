@@ -199,3 +199,75 @@ def test_wbc_torque_level_stand():
     assert 0.26 < float(loop.sim.q[2]) < 0.30
     assert np.all(np.abs(np.asarray(loop.sim.q[3:6])) < 0.03)
     assert float(jnp.linalg.norm(loop.sim.v[:6])) < 0.1
+
+
+# --- Go1 on the articulated sim (reference runs Go1 in Gazebo/hardware,
+#     launch/gazebo_go1_convex.launch + urdf/go1_description) ---
+
+GO1 = wb.go1_wb_model()
+
+
+def _go1_params():
+    from legged_mpc_control_tpu.config import go1_params
+    return go1_params(DT).replace(kp_foot=jnp.full(3, 40.0, DT),
+                                  kd_foot=jnp.full(3, 1.2, DT))
+
+
+def _go1_start(params, height=0.28):
+    return step_mod.LoopState(
+        controller=step_mod.controller_init(params, dtype=DT,
+                                            body_height=height),
+        sim=wb_sim.wb_sim_init(GO1, params, height=height, dtype=DT))
+
+
+def test_go1_standing_balance():
+    """Go1 whole-body model + go1 controller params, standing 1 s."""
+    params = _go1_params()
+    loop = _go1_start(params)
+    for _ in range(100):
+        loop = step_mod.closed_loop_tick_wb(loop, params,
+                                            gait.trot_pattern(DT), GO1,
+                                            horizon=10)
+    assert 0.26 < float(loop.sim.q[2]) < 0.30, float(loop.sim.q[2])
+    assert np.all(np.abs(np.asarray(loop.sim.q[3:6])) < 0.05)
+    assert int(jnp.sum(loop.sim.f_contact[:, 2] > 5.0)) == 4
+
+
+def test_go1_trot_walk():
+    """Go1 trots at 0.2 m/s for 3 s on articulated dynamics."""
+    params = _go1_params()
+    loop = _go1_start(params)
+    kw = dict(horizon=10)
+    for _ in range(50):
+        loop = step_mod.closed_loop_tick_wb(loop, params,
+                                            gait.trot_pattern(DT), GO1,
+                                            **kw)
+    cs = loop.controller
+    cs = cs.replace(
+        ctrl=cs.ctrl.replace(movement_mode=jnp.ones((), jnp.int32)),
+        joy=cs.joy.replace(velx=jnp.asarray(0.2, DT)))
+    loop = loop.replace(controller=cs)
+    trace = []
+    for _ in range(300):
+        loop = step_mod.closed_loop_tick_wb(loop, params,
+                                            gait.trot_pattern(DT), GO1,
+                                            **kw)
+        trace.append([float(loop.sim.q[0]), float(loop.sim.q[2]),
+                      float(loop.sim.q[5]), float(loop.sim.q[4])])
+    trace = np.array(trace)
+    assert trace[-1, 0] > 0.25, trace[-1]
+    assert np.all(trace[100:, 1] > 0.22) and np.all(trace[100:, 1] < 0.33)
+    assert np.max(np.abs(trace[:, 2:4])) < 0.25
+
+
+def test_go1_wbc_torque_level_stand():
+    """Hierarchical WBC with the GO1 whole-body model at torque level."""
+    params = _go1_params()
+    loop = _go1_start(params)
+    for _ in range(150):
+        loop = step_mod.closed_loop_tick_wb(loop, params,
+                                            gait.trot_pattern(DT), GO1,
+                                            horizon=10, low_level_type=1)
+    assert 0.26 < float(loop.sim.q[2]) < 0.30
+    assert np.all(np.abs(np.asarray(loop.sim.q[3:6])) < 0.03)
+    assert float(jnp.linalg.norm(loop.sim.v[:6])) < 0.1

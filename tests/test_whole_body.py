@@ -116,3 +116,62 @@ def test_leg_jacobian_matches_leg_kinematics_shape():
     Jleg = kin.jac(jnp.array([0.1, 0.7, -1.4]), rho)
     np.testing.assert_allclose(np.asarray(J[0, :, 6:9]), np.asarray(Jleg),
                                atol=1e-10)
+
+
+# --- Go1 model (reference: urdf/go1_description/xacro/const.xacro) ---
+
+GO1 = wb.go1_wb_model()
+GO1_TOTAL = float(5.204 + 4 * (0.591 + 0.92 + 0.131 + 0.06))
+
+
+def test_go1_neutral_foot_positions():
+    feet = wb.foot_positions(jnp.zeros(18), GO1)
+    y = 0.04675 + 0.08
+    expected = np.array([
+        [0.1881, y, -0.426], [0.1881, -y, -0.426],
+        [-0.1881, y, -0.426], [-0.1881, -y, -0.426]])
+    np.testing.assert_allclose(np.asarray(feet), expected, atol=1e-12)
+
+
+def test_go1_mass_matrix_structure():
+    M = wb.mass_matrix(rand_q(12), GO1)
+    np.testing.assert_allclose(np.asarray(M), np.asarray(M).T, atol=1e-10)
+    assert np.linalg.eigvalsh(np.asarray(M)).min() > 0
+    np.testing.assert_allclose(np.asarray(M[0:3, 0:3]),
+                               GO1_TOTAL * np.eye(3), atol=1e-9)
+
+
+def test_go1_gravity_vector():
+    g = wb.nonlinear_effects(rand_q(13), jnp.zeros(18), GO1)
+    np.testing.assert_allclose(np.asarray(g[0:3]),
+                               [0.0, 0.0, GO1_TOTAL * 9.81], atol=1e-8)
+
+
+def test_go1_mirror_symmetry():
+    """FL and FR legs in mirrored configurations produce exactly mirrored
+    foot positions (the joint geometry mirrors, go1 leg.xacro:9-147) and
+    NEAR-identical leg mass-matrix blocks — near, not exact: the go1 URDF
+    deliberately applies the same unmirrored calf COM (y = +0.001307,
+    leg.xacro:136) to both sides, unlike hip/thigh."""
+    qj = jnp.array([0.2, 0.7, -1.4])
+    q_fl = jnp.zeros(18).at[6:9].set(qj)
+    q_fr = jnp.zeros(18).at[9:12].set(qj * jnp.array([-1.0, 1.0, 1.0]))
+    f_fl = wb.foot_positions(q_fl, GO1)[0]
+    f_fr = wb.foot_positions(q_fr, GO1)[1]
+    np.testing.assert_allclose(
+        np.asarray(f_fl) * np.array([1.0, -1.0, 1.0]),
+        np.asarray(f_fr), atol=1e-12)
+    M_fl = wb.mass_matrix(q_fl, GO1)[6:9, 6:9]
+    M_fr = wb.mass_matrix(q_fr, GO1)[9:12, 9:12]
+    diff = np.abs(np.asarray(M_fl) - np.asarray(M_fr))
+    assert diff.max() < 2e-3, diff          # calf-COM asymmetry only
+    assert diff.max() > 1e-8                # ... and it IS asymmetric
+
+
+def test_wb_model_for_selector():
+    import pytest
+
+    assert wb.wb_model_for("a1").trunk_mass == MODEL.trunk_mass
+    assert wb.wb_model_for("go1").trunk_mass == GO1.trunk_mass
+    with pytest.raises(ValueError):
+        wb.wb_model_for("b2")
