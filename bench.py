@@ -18,6 +18,13 @@ Metrics:
     MPC tick latency vs the ~2 ms 500 Hz-parity budget (BASELINE.md);
     warm ADMM mirrors the reference's OSQP warm-start operating mode
     (ConvexQPSolver.cpp:185).
+  * qp_solve_latency_ms_b1_h10_riccati / _warm_riccati8 — the PRODUCT
+    DEFAULT solver's B=1 latency, cold (15 iters) and cross-tick
+    warm-started (8 iters, gated on matching a 40-iter converged solve to
+    0.5 N) — the documented 500 Hz product config.
+  * weak_scaling_efficiency_2host_cpu_proxy — BASELINE "≥85% scaling to 2+
+    hosts", measured on the 2-process Gloo CPU mesh (one real chip is
+    available; the proxy exercises the real jax.distributed + psum path).
 
 Measurement hygiene: inputs are cycled across timed repetitions — repeated
 execution with bit-identical inputs can be served from result caches in
@@ -134,6 +141,112 @@ def bench_latency(ge, backend, horizon=10, warm_admm=False):
     return dt * 1e3
 
 
+def bench_latency_riccati(ge, horizon=10, warm=False, iters=None):
+    """B=1 latency of the PRODUCT DEFAULT solver (stagewise Riccati IPM;
+    fused Pallas kernel on TPU for H<=12).
+
+    warm=True measures the closed-loop steady state: tick t's converged
+    solution, shift-aligned (riccati.warm_shift) to tick t+1's contact
+    schedule, warm-starts an 8-iteration solve — the cross-tick reuse the
+    reference gets from OSQP's setWarmStart(true) (ConvexQPSolver.cpp:185).
+    The warm solve is GATED on matching a 40-iteration converged solve to
+    0.5 N max-abs so the bench cannot win by under-iterating.
+    """
+    from legged_mpc_control_tpu.mpc import riccati
+
+    dtype = jnp.float32
+    if iters is None:
+        iters = 8 if warm else 15
+    params, x0, contact = ge._make_problem_batch(1, horizon, dtype)
+    lin = ge._lin_batch_fn(params, horizon)
+    rbe = "pallas" if jax.default_backend() == "tpu" else "xla"
+
+    def solve(x0s, contacts, warm_u, n_it):
+        x_ref, A_seq, Bm = lin(x0s)
+        wu = None if warm_u is None else riccati.warm_shift(warm_u, contacts)
+        return riccati.solve_qp_riccati(
+            x0s, x_ref, A_seq, Bm, contacts, params.q_weights,
+            params.r_weights, params.mu, params.fz_max, 0.01,
+            iters=n_it, backend=rbe, warm_u=wu).u
+
+    if not warm:
+        fn = jax.jit(lambda a, c: solve(a, c, None, iters))
+        variants = [(x0 + 1e-4 * k, contact) for k in range(8)]
+    else:
+        # tick t: converged solve on the previous schedule; tick t+1: the
+        # schedule advances one stage, the state drifts a little
+        u_prev = jax.jit(lambda a, c: solve(a, c, None, 40))(x0, contact)
+        u_prev = jax.block_until_ready(u_prev)
+        contact2 = jnp.concatenate([contact[:, 1:], contact[:, -1:]], axis=1)
+        fn = jax.jit(lambda a, c, w: solve(a, c, w, iters))
+        got = fn(x0 + 1e-4, contact2, u_prev)
+        want = jax.jit(lambda a, c, w: solve(a, c, w, 40))(
+            x0 + 1e-4, contact2, u_prev)
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 0.5, f"warm-{iters} off converged by {err} N"
+        base = (x0 + 1e-4, contact2, u_prev)
+        variants = [(base[0] + 1e-4 * k, contact2, u_prev) for k in range(8)]
+
+    out = fn(*variants[0])
+    jax.block_until_ready(out)
+    dt = _timeit(fn, variants, n_rep=30)
+    return dt * 1e3
+
+
+def bench_weak_scaling(timeout=600):
+    """2-process Gloo CPU-mesh weak-scaling efficiency (BASELINE: >=0.85 at
+    >=2 hosts). Spawns the same driver shape as tests/test_distributed.py;
+    both phases run barrier-aligned under identical contention so the ratio
+    isolates collective + multi-process dispatch overhead."""
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = str(s.getsockname()[1])
+    s.close()
+
+    driver = r"""
+import json, os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["JAX_COORDINATOR_ADDRESS"] = "127.0.0.1:" + port
+os.environ["JAX_NUM_PROCESSES"] = str(nproc)
+os.environ["JAX_PROCESS_ID"] = str(pid)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache-tests")
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+from legged_mpc_control_tpu.config import a1_params
+from legged_mpc_control_tpu.mpc import gait
+from legged_mpc_control_tpu.parallel import distributed as dist
+dist.initialize()
+rep = dist.weak_scaling_report(gait.trot_pattern(jnp.float32),
+                               a1_params(jnp.float32), per_device_batch=32,
+                               horizon=5, n_ticks=4, pdip_iters=6, reps=3,
+                               dtype=jnp.float32)
+print("EFF" + str(pid) + " " + json.dumps(rep), flush=True)
+"""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    procs = [subprocess.Popen([sys.executable, "-c", driver, str(pid), "2",
+                               port], cwd=repo, env=env,
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=timeout)[0] for p in procs]
+    for pid, out in enumerate(outs):
+        assert f"EFF{pid}" in out, f"proc {pid} failed:\n{out[-2000:]}"
+    rep = json.loads(outs[0].split("EFF0 ")[1].splitlines()[0])
+    return rep["weak_scaling_efficiency"]
+
+
 def main():
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         try:
@@ -195,6 +308,30 @@ def main():
         emit("qp_solve_latency_ms_b1_h10_warm_admm30", v, "ms", 2.0 / v)
     except Exception as e:              # pragma: no cover
         print(json.dumps({"metric": "qp_solve_latency_ms_b1_h10_warm_admm30",
+                          "error": repr(e)}), flush=True)
+
+    try:
+        # product-default solver B=1: cold and cross-tick warm (the
+        # documented 500 Hz product config, VERDICT r2 weak #2)
+        v = bench_latency_riccati(ge, warm=False)
+        emit("qp_solve_latency_ms_b1_h10_riccati", v, "ms", 2.0 / v)
+    except Exception as e:              # pragma: no cover
+        print(json.dumps({"metric": "qp_solve_latency_ms_b1_h10_riccati",
+                          "error": repr(e)}), flush=True)
+
+    try:
+        v = bench_latency_riccati(ge, warm=True)
+        emit("qp_solve_latency_ms_b1_h10_warm_riccati8", v, "ms", 2.0 / v)
+    except Exception as e:              # pragma: no cover
+        print(json.dumps({"metric": "qp_solve_latency_ms_b1_h10_warm_riccati8",
+                          "error": repr(e)}), flush=True)
+
+    try:
+        v = bench_weak_scaling()
+        emit("weak_scaling_efficiency_2host_cpu_proxy", v, "ratio",
+             v / 0.85)
+    except Exception as e:              # pragma: no cover
+        print(json.dumps({"metric": "weak_scaling_efficiency_2host_cpu_proxy",
                           "error": repr(e)}), flush=True)
 
     # --- headline metric: LAST line (product-default solver) ---

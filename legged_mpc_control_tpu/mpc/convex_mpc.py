@@ -173,26 +173,32 @@ def mpc_tick_batched(states: ControllerState, params: RobotParams,
       states: ControllerState with a leading scenario axis on every leaf.
       params: RobotParams with a leading scenario axis on every leaf
         (broadcast shared leaves with `parallel.runner.broadcast_params`).
-      solver: "riccati" (default — the stagewise lanes-layout IPM,
-        mpc/riccati.py: fastest at every horizon and never condenses),
-        "pdip" (condensed dense IPM + Pallas batch-in-lanes Cholesky), or
-        "admm" (OSQP-equivalent; pass `warm` carried across ticks to mirror
-        the reference's `setWarmStart(true)`, ConvexQPSolver.cpp:185).
-      backend: "pallas" on TPU, "xla" on CPU (condensed solvers only).
-      warm: ADMM warm tuple from the previous tick (solver="admm" only).
+      solver: "riccati" (default — the stagewise IPM; on TPU with H <= 12
+        it dispatches to the fully-fused single-launch Pallas kernel,
+        ops/riccati_pallas.py), "pdip" (condensed dense IPM + Pallas
+        batch-in-lanes Cholesky), or "admm" (OSQP-equivalent).
+      backend: "pallas" on TPU, "xla" on CPU.
+      warm: previous tick's warm state, mirroring the reference's
+        `setWarmStart(true)` (ConvexQPSolver.cpp:185) —
+        solver="admm": the ADMM warm tuple; solver="riccati"/"pdip": the
+        previous (B, 12H) solution, shift-aligned here to this tick's
+        schedule and used as an interior-point primal warm start.
 
-    Returns (states', warm') where warm' is None unless solver="admm".
+    Returns (states', warm') where warm' carries to the next tick's call
+    (None only for cold riccati/pdip requests where warm was None and the
+    caller never carries it — warm' is always returned for reuse).
     """
     states, stage = jax.vmap(
         lambda s, p: mpc_prepare(s, p, pattern, dt, horizon=horizon)
     )(states, params)
 
     if solver == "riccati":
-        res = riccati.solve_qp_riccati_batched(
+        wu = None if warm is None else riccati.warm_shift(warm, stage.contact)
+        res = riccati.solve_qp_riccati(
             stage.x0, stage.x_ref, stage.A_seq, stage.B, stage.contact,
             stage.q_weights, stage.r_weights, stage.mu, stage.fz_max, dt,
-            iters=iters)
-        warm_out = None
+            iters=iters, backend=backend, warm_u=wu)
+        warm_out = res.u
     elif solver == "admm":
         qp = jax.vmap(lambda s: build_condensed_from_stage(s, dt))(stage)
         res = admm.solve_qp_admm_batched(
@@ -201,10 +207,11 @@ def mpc_tick_batched(states: ControllerState, params: RobotParams,
         warm_out = res.warm
     else:
         qp = jax.vmap(lambda s: build_condensed_from_stage(s, dt))(stage)
+        wu = None if warm is None else riccati.warm_shift(warm, qp.contact)
         res = pdip.solve_qp_pdip_batched(
             qp.P, qp.q, qp.mu, qp.fz_max, qp.contact,
-            iters=iters, backend=backend)
-        warm_out = None
+            iters=iters, backend=backend, warm_u=wu)
+        warm_out = res.u
 
     grf = res.u[:, 0:12]
     # per-scenario NaN guard (reference: ConvexQPSolver.cpp:321-326)

@@ -236,7 +236,7 @@ def solve_qp_pdip(P, q, mu, fz_max, *, contact=None, iters=18, tol=None):
 
 
 def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
-                          backend="pallas"):
+                          backend="pallas", warm_u=None):
     """Explicitly-batched PDIP: P (B,n,n), q (B,n), contact (B,H,4).
 
     Same algorithm as `solve_qp_pdip` but with the scenario batch as a real
@@ -244,6 +244,11 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
     Cholesky kernels (ops/chol_pallas.py) — XLA's library Cholesky /
     triangular-solve custom calls run this batched-small regime ~30x slower.
     backend="xla" falls back to jnp.linalg (useful on CPU).
+
+    warm_u: optional (B, n) previous-tick solution (shift it with
+    riccati.warm_shift first) — primal warm start with recentered interior
+    duals, the cross-tick reuse the reference gets from OSQP's
+    setWarmStart(true) (reference: ConvexQPSolver.cpp:185).
 
     Returns PdipResult with batched fields.
     """
@@ -271,9 +276,14 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
     def GTdot(w):
         return _gt_apply(w, mu).reshape(B, n)
 
-    u = jnp.zeros((B, n), dtype=dtype)
-    s = jnp.maximum(h - Gdot(u), 1.0)
-    lam = jnp.ones_like(s)
+    if warm_u is None:
+        u = jnp.zeros((B, n), dtype=dtype)
+        s = jnp.maximum(h - Gdot(u), 1.0)
+        lam = jnp.ones_like(s)
+    else:
+        u = warm_u
+        s = jnp.maximum(h - Gdot(u), 0.1)
+        lam = jnp.clip(1.0 / s, 1e-3, 1e2)
 
     def body(carry, _):
         u, s, lam, done = carry
@@ -329,8 +339,12 @@ def solve_qp_pdip_batched(P, q, mu, fz_max, contact, *, iters=18, tol=None,
         a_p = 0.99 * max_step(s, ds)
         a_d = 0.99 * max_step(lam, dlam)
 
-        conv = (mu_gap < tol) & (
-            jnp.max(jnp.abs(r_prim.reshape(B, -1)), axis=-1) < 1e3 * tol)
+        # all three residuals gate the freeze (a warm-started iterate can
+        # hold tiny complementarity with an unconverged dual residual)
+        conv = ((mu_gap < tol)
+                & (jnp.max(jnp.abs(r_prim.reshape(B, -1)), axis=-1)
+                   < 1e3 * tol)
+                & (jnp.max(jnp.abs(r_dual), axis=-1) < 1e3 * tol))
         # per-element non-finite direction guard: freeze at the last good
         # iterate instead of letting one exhausted central path poison the
         # batch element (f32 Cholesky can emit non-finite pivots once

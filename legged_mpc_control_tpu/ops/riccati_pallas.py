@@ -162,14 +162,14 @@ def _gtdg(d, mu):
     return jnp.stack(out, axis=-3)
 
 
-def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
+def _make_kernel(H, iters, dt, tol, d_max, reg, eps, warm):
     m_con = H * 4 * 6
 
     def kernel(x0_ref, xref_ref, A_ref, B_ref, qw_ref, rw_ref, mu_ref,
-               fz_ref, u_out, L_s, K_s, Hx_s, vec_s, kff_s, du_s):
+               fz_ref, u0_ref, u_out, gap_out, L_s, K_s, Hx_s, vec_s, kff_s,
+               du_s, blk_s, u_s, g_s):
         # tile views (all VMEM)
         x0 = x0_ref[...]                   # (12, L)
-        xref = xref_ref[...]               # (H, 12, L)
         Bm = B_ref[...]                    # (H, 12, 12, L) (contact-masked)
         qw = qw_ref[...]                   # (12, L)
         rw = rw_ref[...]                   # (12, L)
@@ -197,10 +197,15 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
 
         def rollout_psi(u):
             """X rollout then backward adjoint, both through vec_s.
-            Returns psi (H,12,L) = dJ/dx_{k+1} (value read from scratch)."""
+            Returns psi (H,12,L) = dJ/dx_{k+1} (value read from scratch).
+            Stage-indexed operands go through refs (u_s) — Mosaic TC has
+            no dynamic_slice on values."""
+            u_s[...] = u
+
             def fwd(k, x):
                 x = (_mv(read_stage(A_ref, k), x)
-                     + _mv(read_stage(B_ref, k), u[k]) + d_aff)
+                     + _mv(read_stage(B_ref, k), read_stage(u_s, k))
+                     + d_aff)
                 vec_s[pl.ds(k, 1)] = x[None]
                 return x
 
@@ -209,7 +214,7 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
             def bwd(i, p):
                 k = H - 1 - i
                 xk = read_stage(vec_s, k)
-                qx = qw * (xk - xref[k])
+                qx = qw * (xk - read_stage(xref_ref, k))
                 pk = qx + jnp.where(k + 1 < H, 1.0, 0.0) * _mtv(
                     read_stage(A_ref, jnp.minimum(k + 1, H - 1)), p)
                 vec_s[pl.ds(k, 1)] = pk[None]
@@ -218,9 +223,11 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
             jax.lax.fori_loop(0, H, bwd, jnp.zeros((NX, L_lanes), dtype))
             return vec_s[...]
 
-        def factor(blocks):
+        def factor():
             """Backward Riccati factor sweep; caches to L_s/K_s/Hx_s.
-            blocks: (H,4,3,3,L) interior-point G^T D G leg blocks."""
+            Reads the (H,4,3,3,L) interior-point G^T D G leg blocks from
+            the blk_s scratch ref — a dynamic stage slice of a VALUE is
+            not lowerable on Mosaic TC, a ref slice is."""
             qdiag = eyeq[:, :, None] * qw[:, None, :]
             rdiag = eyeq[:, :, None] * (rw[:, None, :] + reg)
             zero33 = jnp.zeros((3, 3, L_lanes), dtype)
@@ -229,7 +236,7 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
                 k = H - 1 - i
                 Ak = read_stage(A_ref, k)
                 Bk = read_stage(B_ref, k)
-                blk = jax.lax.dynamic_slice_in_dim(blocks, k, 1, 0)[0]
+                blk = read_stage(blk_s, k)
                 rows = []
                 for leg in range(4):
                     rows.append(jnp.concatenate(
@@ -254,9 +261,11 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
 
         def lqr_solve(g):
             """du = -K^{-1} g using the L_s/K_s/Hx_s caches."""
+            g_s[...] = g
+
             def bwd(i, p):
                 k = H - 1 - i
-                gtot = g[k] + _mtv(read_stage(B_ref, k), p)
+                gtot = read_stage(g_s, k) + _mtv(read_stage(B_ref, k), p)
                 kff = -_cho_solve(read_stage(L_s, k), gtot)
                 p = (_mtv(read_stage(A_ref, k), p)
                      + _mtv(read_stage(Hx_s, k), kff))
@@ -285,7 +294,8 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
             mu_gap = jnp.sum(s * lam, axis=(0, 1, 2)) / m_con    # (L,)
 
             dscale = jnp.clip(lam / jnp.maximum(s, eps), 0.0, d_max)
-            factor(_gtdg(dscale, mu))                  # caches -> scratch
+            blk_s[...] = _gtdg(dscale, mu)
+            factor()                                   # caches -> scratch
 
             def solve_dir(rc):
                 w = (lam * r_prim - rc) / jnp.maximum(s, eps)
@@ -319,28 +329,42 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
             a_p = 0.99 * max_step(s, ds)
             a_d = 0.99 * max_step(lam, dlam)
 
-            conv = (mu_gap < tol) & (
-                jnp.max(jnp.abs(r_prim), axis=(0, 1, 2)) < 1e3 * tol)
+            # triple residual gate (see mpc/riccati.py: a warm start can
+            # hold tiny complementarity with an unconverged dual residual)
+            conv = ((mu_gap < tol)
+                    & (jnp.max(jnp.abs(r_prim), axis=(0, 1, 2)) < 1e3 * tol)
+                    & (jnp.max(jnp.abs(r_dual), axis=(0, 1)) < 1e3 * tol))
             bad = ~(jnp.all(jnp.isfinite(du), axis=(0, 1))
                     & jnp.all(jnp.isfinite(ds), axis=(0, 1, 2))
                     & jnp.all(jnp.isfinite(dlam), axis=(0, 1, 2)))
-            done = done | conv | bad
-            dn_u = done[None, None, :]
-            dn4 = bc(done)
+            # `done` is carried as f32 (1.0 = frozen): an i1 lane-vector in
+            # the scf.for carry fails Mosaic legalization
+            done = jnp.maximum(done,
+                               jnp.where(conv | bad, 1.0, 0.0).astype(dtype))
+            dn_u = done[None, None, :] > 0.5
+            dn4 = bc(done) > 0.5
             u2 = jnp.where(dn_u, u, u + a_p[None, None, :] * du)
             s2 = jnp.where(dn4, s, s + bc(a_p) * ds)
             lam2 = jnp.where(dn4, lam, lam + bc(a_d) * dlam)
             return (u2, s2, lam2, done), None
 
-        u0 = jnp.zeros((H, NX, L_lanes), dtype)
-        s0 = jnp.maximum(h - _g_apply(u0.reshape(H, 4, 3, L_lanes), mu),
-                         1.0)
-        lam0 = jnp.ones_like(s0)
-        done0 = jnp.zeros((L_lanes,), dtype=bool)
+        u0 = u0_ref[...]
+        if warm:
+            # primal warm start from the shifted previous-tick solution,
+            # slacks clipped interior, duals recentered (mpc/riccati.py)
+            s0 = jnp.maximum(h - _g_apply(u0.reshape(H, 4, 3, L_lanes), mu),
+                             0.1)
+            lam0 = jnp.clip(1.0 / s0, 1e-3, 1e2)
+        else:
+            s0 = jnp.maximum(h - _g_apply(u0.reshape(H, 4, 3, L_lanes), mu),
+                             1.0)
+            lam0 = jnp.ones_like(s0)
+        done0 = jnp.zeros((L_lanes,), dtype)
         (u, s, lam, done) = jax.lax.fori_loop(
             0, iters, lambda _i, c: body(c, None)[0],
             (u0, s0, lam0, done0))
         u_out[...] = u
+        gap_out[...] = (jnp.sum(s * lam, axis=(0, 1, 2)) / m_con)[None]
 
     return kernel
 
@@ -348,11 +372,11 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps):
 @functools.partial(jax.jit, static_argnames=("dt", "iters", "interpret"))
 def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
                            r_weights, mu, fz_max, dt, *, iters=18,
-                           interpret=False):
+                           interpret=False, warm_u=None):
     """One-launch Riccati IPM. Same contract as
-    mpc.riccati.solve_qp_riccati_batched but f32-only and H <= 12; the
-    swing-leg zeroing and diagnostics are applied by the caller wrapper in
-    mpc/riccati.py. Returns u (B, 12H)."""
+    mpc.riccati.solve_qp_riccati_batched but f32-only and H <= 12
+    (dispatched by riccati.solve_qp_riccati when it `fits`).
+    Returns (u (B, 12H) with swing legs zeroed, duality gap (B,))."""
     B, H, _ = x_ref.shape
     dtype = x_ref.dtype
     tol = 1e-6
@@ -392,7 +416,14 @@ def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
     # padded lanes: identity-ish problem (A=I would help conditioning, but
     # zeros are fine — fz pad=1 keeps s0 interior and the lane frozen-safe)
 
-    kernel = _make_kernel(H, iters, float(dt), tol, d_max, reg, eps)
+    if warm_u is None:
+        u0_t = jnp.zeros((H, NX, Bp), dtype)
+    else:
+        u0 = warm_u.reshape(B, H, NX) * legmask
+        u0_t = lanes(u0, 0)                                    # (H,12,Bp)
+
+    kernel = _make_kernel(H, iters, float(dt), tol, d_max, reg, eps,
+                          warm_u is not None)
     grid = (Bp // LANES,)
 
     def spec(shape):
@@ -401,9 +432,10 @@ def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
                             lambda b, _nd=nd: (0,) * (_nd - 1) + (b,),
                             memory_space=pltpu.VMEM)
 
-    u = pl.pallas_call(
+    u, gap = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((H, NX, Bp), dtype),
+        out_shape=[jax.ShapeDtypeStruct((H, NX, Bp), dtype),
+                   jax.ShapeDtypeStruct((1, Bp), dtype)],
         grid=grid,
         in_specs=[
             spec((NX, Bp)),
@@ -414,8 +446,9 @@ def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
             spec((NX, Bp)),
             spec((1, Bp)),
             spec((1, Bp)),
+            spec((H, NX, Bp)),
         ],
-        out_specs=spec((H, NX, Bp)),
+        out_specs=[spec((H, NX, Bp)), spec((1, Bp))],
         scratch_shapes=[
             pltpu.VMEM((H, NX, NX, LANES), dtype),     # L cache
             pltpu.VMEM((H, NX, NX, LANES), dtype),     # K cache
@@ -423,10 +456,13 @@ def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
             pltpu.VMEM((H, NX, LANES), dtype),         # X/psi workspace
             pltpu.VMEM((H, NX, LANES), dtype),         # kff workspace
             pltpu.VMEM((H, NX, LANES), dtype),         # du workspace
+            pltpu.VMEM((H, 4, 3, 3, LANES), dtype),    # G^T D G leg blocks
+            pltpu.VMEM((H, NX, LANES), dtype),         # u (stage reads)
+            pltpu.VMEM((H, NX, LANES), dtype),         # lqr rhs g
         ],
         interpret=interpret,
-    )(x0_t, xref_t, A_t, B_t, qw_t, rw_t, mu_t, fz_t)
+    )(x0_t, xref_t, A_t, B_t, qw_t, rw_t, mu_t, fz_t, u0_t)
 
     u = u[..., :B]                                             # (H,12,B)
     u = u.transpose(2, 0, 1).reshape(B, H * NX)
-    return u * legmask.reshape(B, H * NX)
+    return u * legmask.reshape(B, H * NX), gap[0, :B]

@@ -72,8 +72,13 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
         batch = loop.sim.pos.shape[0]
         dtype = loop.sim.pos.dtype
         params_b = step_mod.broadcast_params(params, batch)
+        # riccati/pdip carry the previous tick's primal (B, 12H) as the
+        # cross-tick warm start (reference: ConvexQPSolver.cpp:185); a
+        # zeros tick-0 carry is the cold start expressed in warm form (the
+        # scan carry must keep one pytree structure across ticks).
         warm0 = (step_mod.admm_warm_init(batch, horizon, dtype)
-                 if solver == "admm" else None)
+                 if solver == "admm"
+                 else jnp.zeros((batch, horizon * 12), dtype))
 
         def body(carry, _):
             loop, warm = carry

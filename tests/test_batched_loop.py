@@ -31,7 +31,9 @@ def test_batched_tick_matches_vmapped_reference():
     got, warm = step_mod.closed_loop_tick_batched(
         loop, params_b, pattern, horizon=5, iters=12, solver="pdip",
         backend="xla")
-    assert warm is None
+    # the tick returns its primal for the next tick's cross-tick warm start
+    # (reference: ConvexQPSolver.cpp:185)
+    assert warm.shape == (batch, 12 * 5)
 
     def one(lp, pp):
         return step_mod.closed_loop_tick(lp, pp, pattern, horizon=5,

@@ -81,13 +81,19 @@ np.testing.assert_allclose(local_concat(restored.sim.pos),
                            local_concat(final.sim.pos), atol=0)
 print("CKPT" + str(pid) + " ok", flush=True)
 
-rep = dist.weak_scaling_report(pattern, params, per_device_batch=2,
-                               horizon=5, n_ticks=2, pdip_iters=6,
-                               reps=1, dtype=dtype)
+# per-device load sized like the production sweep (65k/64dev ~ 1k/device
+# on TPU; 32/device is the CPU-CI equivalent that keeps one dispatch's
+# work >> the per-dispatch overhead this measurement is not about)
+rep = dist.weak_scaling_report(pattern, params, per_device_batch=32,
+                               horizon=5, n_ticks=4, pdip_iters=6,
+                               reps=3, dtype=dtype)
 assert rep["hosts"] == nproc and rep["devices_global"] == 4 * nproc
-print("EFF" + str(pid) + " " + json.dumps(
-    {k: v for k, v in rep.items() if k != "weak_scaling_efficiency"}),
-    flush=True)
+print("EFF" + str(pid) + " " + json.dumps(rep), flush=True)
+# BASELINE target: >= 85% weak-scaling efficiency at >= 2 hosts. The
+# report times both phases under identical contention (barrier-aligned,
+# all hosts busy in both), so this asserts the true scaling overhead —
+# collectives + multi-process dispatch — not CI-box core oversubscription.
+assert rep["weak_scaling_efficiency"] >= 0.85, rep
 print("OK" + str(pid), flush=True)
 """
 

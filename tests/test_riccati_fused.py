@@ -28,7 +28,9 @@ def test_fused_matches_xla_riccati():
             jnp.asarray(params.r_weights, jnp.float32),
             jnp.float32(params.mu), jnp.float32(params.fz_max))
     want = riccati.solve_qp_riccati_batched(*args, 0.01, iters=15).u
-    got = rp.solve_qp_riccati_fused(*args, 0.01, iters=15, interpret=True)
+    got, gap = rp.solve_qp_riccati_fused(*args, 0.01, iters=15,
+                                         interpret=True)
+    assert gap.shape == (6,) and bool(jnp.all(gap < 1e-4))
     # two f32 orderings of the same algorithm: ~1e-4 relative on ~100 N
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-2)
@@ -47,8 +49,9 @@ def test_fused_pads_odd_batch():
             jnp.asarray(params.q_weights, jnp.float32),
             jnp.asarray(params.r_weights, jnp.float32),
             jnp.float32(params.mu), jnp.float32(params.fz_max))
-    got = rp.solve_qp_riccati_fused(*args, 0.01, iters=12, interpret=True)
-    assert got.shape == (5, 120)
+    got, gap = rp.solve_qp_riccati_fused(*args, 0.01, iters=12,
+                                         interpret=True)
+    assert got.shape == (5, 120) and gap.shape == (5,)
     assert bool(jnp.all(jnp.isfinite(got)))
 
 
