@@ -42,6 +42,7 @@ class UdpJoystick:
         # reason, BaseInterface.cpp:126-129)
         self._pressed = np.zeros(N_BUTTONS, dtype=bool)
         self.frames = 0
+        self.malformed = 0
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
@@ -72,7 +73,10 @@ class UdpJoystick:
                     self._axes, self._buttons = axes, buttons
                     self.frames += 1
             except (ValueError, UnicodeDecodeError):
-                pass
+                # counted, not raised: one corrupt datagram must not kill
+                # the receiver (the reference's filter warm-up likewise
+                # counts bad samples, HardwareInterface.cpp)
+                self.malformed += 1
 
     def get(self):
         """Newest (axes, buttons). Latched presses are delivered exactly

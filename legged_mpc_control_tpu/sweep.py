@@ -51,8 +51,9 @@ def main(argv=None):
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
-    except Exception:
-        pass
+    except Exception as e:
+        # non-fatal (the sweep just recompiles cold) but never silent
+        print(f"sweep: compilation cache disabled: {e!r}", flush=True)
     if args.f64:
         jax.config.update("jax_enable_x64", True)
 

@@ -6,6 +6,7 @@ unitree_highlevel_ctrl)."""
 import json
 import subprocess
 import sys
+import time
 
 import jax.numpy as jnp
 import numpy as np
@@ -239,3 +240,85 @@ def test_cli_rejects_hardware_without_estimation():
          "--backend", "hardware", "--kf", "0", "--yes", "--cpu"],
         capture_output=True, text=True, timeout=60)
     assert out.returncode == 1
+
+
+# ---------- NatNet command-port protocol ----------
+
+def test_mocap_server_info_roundtrip():
+    pkt = mocap.build_server_info(app_name="Motive",
+                                  app_version=(2, 3, 0, 0),
+                                  natnet_version=(3, 1, 0, 0))
+    info = mocap.parse_server_info(pkt)
+    assert info.app_name == "Motive"
+    assert info.app_version == (2, 3, 0, 0)
+    assert info.natnet_version == (3, 1, 0, 0)
+    # non-serverinfo rejected
+    assert mocap.parse_server_info(mocap.build_connect()) is None
+
+
+def test_mocap_model_def_roundtrip():
+    model = mocap.ModelDef(
+        marker_sets={"go1": ["m1", "m2", "m3"]},
+        rigid_bodies=[
+            mocap.RigidBodyDef("go1_trunk", 7, 0,
+                               np.array([0.0, 0.1, 0.2])),
+            mocap.RigidBodyDef("gate", 9, 0, np.zeros(3)),
+        ],
+        skeletons={"operator": [
+            mocap.RigidBodyDef("hip", 1, 0, np.zeros(3)),
+            mocap.RigidBodyDef("chest", 2, 1,
+                               np.array([0.0, 0.0, 0.3]))]},
+    )
+    for ver in ((2, 6), (3, 0)):
+        pkt = mocap.build_model_def(model, natnet_version=ver)
+        got = mocap.parse_model_def(pkt, natnet_version=ver)
+        assert got.marker_sets == {"go1": ["m1", "m2", "m3"]}
+        assert [rb.name for rb in got.rigid_bodies] == ["go1_trunk", "gate"]
+        assert got.rigid_bodies[0].body_id == 7
+        np.testing.assert_allclose(got.rigid_bodies[0].offset,
+                                   [0.0, 0.1, 0.2], atol=1e-6)
+        assert [rb.name for rb in got.skeletons["operator"]] == [
+            "hip", "chest"]
+        assert got.body_id_for("gate") == 9
+        assert got.body_id_for("nope") is None
+
+
+def test_mocap_command_port_handshake():
+    """Full client flow against the fake Motive server: Connect ->
+    ServerInfo (versions learned), RequestModelDef -> ModelDef (IDs
+    resolved), then a version-gated data frame (reference flow:
+    mocap_node.cpp:86-99 initialize + run)."""
+    import socket as _socket
+
+    model = mocap.ModelDef({}, [mocap.RigidBodyDef(
+        "trunk", 5, 0, np.zeros(3))], {})
+    server = mocap.FakeMotiveServer(model, natnet_version=(3, 0, 0, 0))
+    server.start()
+    client = mocap.MocapClient(multicast_group=None, port=0,
+                               server_ip="127.0.0.1",
+                               command_port=server.port)
+    try:
+        info = client.connect(timeout=5.0)
+        assert info.natnet_version[:2] == (3, 0)
+        got = client.request_model_def(timeout=5.0)
+        assert got.body_id_for("trunk") == 5
+        client.start()
+        tx = _socket.socket(_socket.AF_INET, _socket.SOCK_DGRAM)
+        pkt = mocap.build_frame(
+            [(5, np.array([0.3, 0.0, 0.29]),
+              np.array([1.0, 0.0, 0.0, 0.0]))], frame_number=1)
+        dst = ("127.0.0.1", client.sock.getsockname()[1])
+        # also a garbage datagram: counted as malformed, not fatal
+        deadline = time.time() + 5.0
+        while client.frames == 0 and time.time() < deadline:
+            tx.sendto(b"\x07\x00\xff\xff\x01", dst)
+            tx.sendto(pkt, dst)
+            time.sleep(0.05)
+        tx.close()
+        assert client.frames > 0
+        rb = client.get_pose(5)
+        np.testing.assert_allclose(rb.pos, [0.3, 0.0, 0.29], atol=1e-6)
+        assert client.malformed > 0
+    finally:
+        client.close()
+        server.close()
