@@ -1,0 +1,440 @@
+"""Contact-implicit MPC: trajectory optimization THROUGH contact.
+
+The reference's second MPC backend (reference:
+src/legged_ctrl/src/mpc_ctrl/ci_mpc/LciMpc.cpp:8-24 bridging to
+ContactImplicitMPC.jl; capability claim README.md:14 — Go1 trot,
+box-step, wall-lean) optimizes body AND foot trajectories without a
+pre-committed contact schedule: contact forces and make/break timing come
+out of complementarity conditions against the terrain, so stepping ONTO a
+box emerges from the geometry instead of from a hand-fed gait table.
+
+This module is the framework's own tpu-native engine for that slot
+(the Julia engine is an empty submodule in the reference snapshot):
+
+  * model — single rigid body + 4 point feet:
+      state  z in R^24 = [pos(3), eul(3), v(3), omega(3), feet_world(12)]
+      input  u in R^24 = [grf(12) world, foot_vel(12) world]
+    body integrates SRB dynamics under the GRFs applied at the feet; feet
+    are velocity-controlled (the standard simplified contact-implicit
+    model: the WBC/leg-PD tracks whatever foot motion the optimizer asks
+    for, exactly how the LciMpc seam consumes the result).
+  * contact via RELAXED/SMOOTHED COMPLEMENTARITY penalties, annealed like
+    a central path (rho shrinks with iteration — the same relaxation
+    ContactImplicitMPC.jl's interior-point applies to its NCP):
+      - smoothed Fischer-Burmeister residual on (fz, gap):
+          FB(a, b; rho) = a + b - sqrt(a^2 + b^2 + rho^2),  penalize FB^2
+        (zero iff fz >= 0, gap >= 0, fz*gap ~ rho^2/2 — one residual
+        covers force-at-distance, penetration, and negative normal force,
+        and unlike softplus products it vanishes EXACTLY at legitimate
+        contact, so stance forces are not biased)
+      - slip:               fz * |w_xy|^2         -> 0  (stick while loaded)
+      - friction pyramid:   sp_rho(|f_t| - mu fz)^2 -> 0
+    with forces in units of f0=50 N and gaps in units of g0=2 cm so the
+    residual is O(1), where gap(foot) = foot_z - terrain_height(foot_xy)
+    over the SAME height field the simulator stands on — the optimizer
+    literally sees the box.
+  * solver — Gauss-Newton iLQR: AD stage derivatives (jacfwd dynamics,
+    hessian cost), Riccati-style backward scan, parallel-alpha forward
+    line search. Fixed iteration count, no data-dependent control flow:
+    one XLA compilation, batchable with vmap (stage Hessians are 48x48 —
+    MXU-friendly dense blocks).
+
+API: `ci_solve` (the optimizer), `make_ci_reference` (trot-template
+reference the tracker pulls toward — the reference system likewise tracks
+a template trajectory; complementarity, not the template, decides the
+actual contact), `make_ci_walk_policy` (the `(x40, t) -> (78,)` policy
+that plugs into the LciMpc seam, mpc/lci_mpc.py).
+"""
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from legged_mpc_control_tpu.sim import terrain as terrain_mod
+
+NZ = 24
+NU = 24
+GRAV = 9.81
+
+
+class CiWeights(NamedTuple):
+    """Cost weights. Complementarity weights are the penalty strengths the
+    rho-anneal tightens against."""
+    q_pos: Any
+    q_eul: Any
+    q_vel: Any
+    q_omega: Any
+    q_foot: Any          # foot-position template tracking (weak)
+    r_f: Any             # GRF regularization
+    r_w: Any             # foot-velocity regularization
+    c_fb: Any            # Fischer-Burmeister complementarity residual
+    c_slip: Any          # tangential foot velocity while loaded
+    c_cone: Any          # friction pyramid
+
+
+# complementarity scaling: forces in f0 N, gaps in g0 m (O(1) residuals)
+F0 = 50.0
+G0 = 0.02
+
+
+def default_weights(dtype=jnp.float32) -> CiWeights:
+    a = lambda v: jnp.asarray(v, dtype)
+    return CiWeights(
+        q_pos=a([30.0, 30.0, 120.0]),
+        q_eul=a([60.0, 60.0, 30.0]),
+        q_vel=a([4.0, 4.0, 8.0]),
+        q_omega=a([1.0, 1.0, 1.0]),
+        q_foot=a([18.0, 18.0, 60.0]),
+        r_f=a(1e-3),
+        r_w=a(5e-2),
+        c_fb=a(40.0),
+        c_slip=a(8.0),
+        c_cone=a(10.0),
+    )
+
+
+def _sp(x, rho):
+    """Smoothed relu: rho * softplus(x / rho) -> max(x, 0) as rho -> 0."""
+    return rho * jax.nn.softplus(x / rho)
+
+
+def _fb(a, b, rho):
+    """Smoothed Fischer-Burmeister: zero iff a >= 0, b >= 0 and
+    a*b ~ rho^2/2; negative when either is negative. Smooth everywhere."""
+    return a + b - jnp.sqrt(a * a + b * b + rho * rho)
+
+
+def ci_dynamics(z, u, mass, inertia_w_inv, dt):
+    """One smooth SRB+feet step. inertia_w_inv: (3,3) world-frame inverse
+    trunk inertia (fixed at the current yaw — the same time-invariant
+    linearization the convex path uses, mpc/reference.py)."""
+    dtype = z.dtype
+    pos, eul, v, om = z[0:3], z[3:6], z[6:9], z[9:12]
+    feet = z[12:24].reshape(4, 3)
+    f = u[0:12].reshape(4, 3)
+    w = u[12:24].reshape(4, 3)
+
+    f_tot = jnp.sum(f, axis=0)
+    acc = f_tot / mass + jnp.array([0.0, 0.0, -GRAV], dtype)
+    tau = jnp.sum(jnp.cross(feet - pos[None, :], f), axis=0)
+
+    pos2 = pos + dt * v
+    eul2 = eul + dt * om            # small-angle euler rates (convex path)
+    v2 = v + dt * acc
+    om2 = om + dt * (inertia_w_inv @ tau)
+    feet2 = feet + dt * w
+    return jnp.concatenate([pos2, eul2, v2, om2, feet2.reshape(-1)])
+
+
+def ci_stage_cost(z, u, ref_z, ref_u, terrain, wts: CiWeights, mu, rho):
+    """Tracking + relaxed complementarity. All terms smooth in (z, u)."""
+    pos, eul, v, om = z[0:3], z[3:6], z[6:9], z[9:12]
+    feet = z[12:24].reshape(4, 3)
+    f = u[0:12].reshape(4, 3)
+    w = u[12:24].reshape(4, 3)
+    fz = f[:, 2]
+
+    track = (jnp.sum(wts.q_pos * (pos - ref_z[0:3]) ** 2)
+             + jnp.sum(wts.q_eul * (eul - ref_z[3:6]) ** 2)
+             + jnp.sum(wts.q_vel * (v - ref_z[6:9]) ** 2)
+             + jnp.sum(wts.q_omega * (om - ref_z[9:12]) ** 2)
+             + jnp.sum(wts.q_foot[None, :]
+                       * (feet - ref_z[12:24].reshape(4, 3)) ** 2)
+             + wts.r_f * jnp.sum((u[0:12] - ref_u[0:12]) ** 2)
+             + wts.r_w * jnp.sum((u[12:24] - ref_u[12:24]) ** 2))
+
+    gap = feet[:, 2] - terrain_mod.height_at(terrain, feet[:, 0:2])
+    a = fz / F0                                  # scaled normal force
+    b = gap / G0                                 # scaled gap
+    comp = (wts.c_fb * jnp.sum(_fb(a, b, rho) ** 2)
+            + wts.c_slip * jnp.sum(_sp(a, rho)[:, None]
+                                   * w[:, 0:2] ** 2)
+            + wts.c_cone * jnp.sum(
+                _sp((jnp.abs(f[:, 0]) - mu * fz) / F0, rho) ** 2
+                + _sp((jnp.abs(f[:, 1]) - mu * fz) / F0, rho) ** 2))
+    return track + comp
+
+
+def _rollout(z0, U, mass, inertia_w_inv, dt):
+    def step(z, u):
+        z2 = ci_dynamics(z, u, mass, inertia_w_inv, dt)
+        return z2, z2
+    _, Z1 = jax.lax.scan(step, z0, U)
+    return jnp.concatenate([z0[None], Z1], axis=0)        # (H+1, NZ)
+
+
+def _total_cost(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
+                inertia_w_inv, dt):
+    Z = _rollout(z0, U, mass, inertia_w_inv, dt)
+    stage = jax.vmap(
+        lambda z, u, rz, ru: ci_stage_cost(z, u, rz, ru, terrain, wts,
+                                           mu, rho)
+    )(Z[:-1], U, refs_z[:-1], refs_u)
+    # terminal: body+foot tracking only
+    zT, rT = Z[-1], refs_z[-1]
+    term = (jnp.sum(wts.q_pos * (zT[0:3] - rT[0:3]) ** 2)
+            + jnp.sum(wts.q_eul * (zT[3:6] - rT[3:6]) ** 2)
+            + jnp.sum(wts.q_vel * (zT[6:9] - rT[6:9]) ** 2))
+    return jnp.sum(stage) + term
+
+
+@partial(jax.jit, static_argnames=("iters", "dt"))
+def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
+             mu, wts: CiWeights = None, *, iters=16, dt=0.02,
+             rho0=0.5, rho_min=0.05, reg=1e-2, state_reg=1e-1,
+             f_scale=F0):
+    """Gauss-Newton iLQR with an annealed complementarity relaxation.
+
+    Args:
+      z0: (NZ,) current state. U0: (H, NU) input warm start.
+      refs_z: (H+1, NZ) template references, refs_u: (H, NU).
+      terrain: sim.terrain.Terrain (the gap function's height field).
+      mass, inertia_w: SRB params (inertia world-frame at current yaw).
+      iters: fixed sweep count (anneal rho0 -> rho_min geometrically).
+
+    Conditioning (f32 / TPU): force channels are optimized in units of
+    `f_scale` N so every control is O(1), and the gain solve uses
+    state-space (Levenberg) regularization Quu + mu_x Fu'Fu — without
+    both, the Riccati backward pass explodes through the strong
+    feet->torque->attitude coupling and the tiny r_f curvature.
+
+    Returns (U (H,NU), Z (H+1,NZ), cost) at the tightest relaxation.
+    Batch with vmap over (z0, U0, refs_*, terrain leaves).
+    """
+    if wts is None:
+        wts = default_weights(z0.dtype)
+    dtype = z0.dtype
+    H = U0.shape[0]
+    inertia_w_inv = jnp.linalg.inv(inertia_w)
+    alphas = jnp.array([1.0, 0.5, 0.25, 0.05], dtype)
+    s_u = jnp.concatenate([jnp.full((12,), f_scale, dtype),
+                           jnp.ones((12,), dtype)])        # u = s_u * uh
+
+    dyn = lambda z, uh: ci_dynamics(z, s_u * uh, mass, inertia_w_inv, dt)
+    Fz_fn = jax.vmap(jax.jacfwd(dyn, argnums=0))
+    Fu_fn = jax.vmap(jax.jacfwd(dyn, argnums=1))
+
+    def stage_c(z, uh, rz, ru, rho):
+        return ci_stage_cost(z, s_u * uh, rz, ru, terrain, wts, mu, rho)
+
+    def total_c(z0_, Uh, rho):
+        return _total_cost(z0_, s_u[None, :] * Uh, refs_z, refs_u,
+                           terrain, wts, mu, rho, mass, inertia_w_inv, dt)
+
+    def quadratize(Z, Uh, rho):
+        zu = jnp.concatenate([Z[:-1], Uh], axis=1)         # (H, NZ+NU)
+
+        def one(zu_k, rz, ru):
+            c = lambda p: stage_c(p[:NZ], p[NZ:], rz, ru, rho)
+            g = jax.grad(c)(zu_k)
+            Hm = jax.hessian(c)(zu_k)
+            return g, 0.5 * (Hm + Hm.T)
+        g, Hm = jax.vmap(one)(zu, refs_z[:-1], refs_u)
+        return g, Hm
+
+    def term_grad_hess(zT):
+        def c(z):
+            return (jnp.sum(wts.q_pos * (z[0:3] - refs_z[-1, 0:3]) ** 2)
+                    + jnp.sum(wts.q_eul * (z[3:6] - refs_z[-1, 3:6]) ** 2)
+                    + jnp.sum(wts.q_vel * (z[6:9] - refs_z[-1, 6:9]) ** 2))
+        return jax.grad(c)(zT), jax.hessian(c)(zT)
+
+    eyeU = jnp.eye(NU, dtype=dtype)
+
+    def backward(Z, Uh, rho):
+        Fz = Fz_fn(Z[:-1], Uh)                             # (H,NZ,NZ)
+        Fu = Fu_fn(Z[:-1], Uh)                             # (H,NZ,NU)
+        g, Hm = quadratize(Z, Uh, rho)
+        Vx, Vxx = term_grad_hess(Z[-1])
+
+        def bstep(carry, inp):
+            Vx, Vxx = carry
+            fz, fu, gk, hk = inp
+            Qx = gk[:NZ] + fz.T @ Vx
+            Qu = gk[NZ:] + fu.T @ Vx
+            Qxx = hk[:NZ, :NZ] + fz.T @ Vxx @ fz
+            Quu = hk[NZ:, NZ:] + fu.T @ Vxx @ fu
+            Qux = hk[NZ:, :NZ] + fu.T @ Vxx @ fz
+            # Levenberg state-space regularization (Tassa'12): gains from
+            # the mu_x-damped system; value update keeps the canonical
+            # (unregularized) form. Tames the feet->attitude coupling.
+            Quu_r = Quu + reg * eyeU + state_reg * (fu.T @ fu)
+            Qux_r = Qux + state_reg * (fu.T @ fz)
+            kff = -jnp.linalg.solve(Quu_r, Qu)
+            K = -jnp.linalg.solve(Quu_r, Qux_r)
+            # non-finite stage guard: zero that stage's correction rather
+            # than poisoning the whole sweep (line search still vets cost)
+            okk = jnp.all(jnp.isfinite(kff)) & jnp.all(jnp.isfinite(K))
+            kff = jnp.where(okk, kff, 0.0)
+            K = jnp.where(okk, K, 0.0)
+            Vx2 = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
+            Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
+            Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
+            okv = jnp.all(jnp.isfinite(Vx2)) & jnp.all(jnp.isfinite(Vxx2))
+            Vx2 = jnp.where(okv, Vx2, Vx)
+            Vxx2 = jnp.where(okv, Vxx2, Vxx)
+            return (Vx2, Vxx2), (kff, K)
+        _, (kff, K) = jax.lax.scan(bstep, (Vx, Vxx), (Fz, Fu, g, Hm),
+                                   reverse=True)
+        return kff, K
+
+    def forward(Z, Uh, kff, K, alpha):
+        def fstep(z, inp):
+            zn, un, kf, Kk = inp
+            u = un + alpha * kf + Kk @ (z - zn)
+            z2 = dyn(z, u)
+            return z2, (u, z2)
+        _, (U2, Z1) = jax.lax.scan(fstep, Z[0], (Z[:-1], Uh, kff, K))
+        return U2, jnp.concatenate([Z[0][None], Z1], axis=0)
+
+    def sweep(carry, it):
+        Uh, Z = carry
+        rho = jnp.maximum(rho0 * (rho_min / rho0) ** (it / (iters - 1.0)),
+                          rho_min).astype(dtype)
+        kff, K = backward(Z, Uh, rho)
+
+        def try_alpha(alpha):
+            U2, Z2 = forward(Z, Uh, kff, K, alpha)
+            c = total_c(Z[0], U2, rho)
+            return U2, Z2, jnp.where(jnp.isfinite(c), c, jnp.inf)
+        U2s, Z2s, cs = jax.vmap(try_alpha)(alphas)
+        c0 = total_c(Z[0], Uh, rho)
+        best = jnp.argmin(cs)
+        improved = cs[best] < c0
+        U_new = jnp.where(improved, U2s[best], Uh)
+        Z_new = jnp.where(improved, Z2s[best], Z)
+        return (U_new, Z_new), jnp.minimum(cs[best], c0)
+
+    Uh0 = U0 / s_u[None, :]
+    Z0 = _rollout(z0, U0, mass, inertia_w_inv, dt)
+    (Uh, Z), costs = jax.lax.scan(sweep, (Uh0, Z0),
+                                  jnp.arange(iters, dtype=dtype))
+    return s_u[None, :] * Uh, Z, costs[-1]
+
+
+def make_ci_reference(z0, t, terrain, params, velx=0.2, body_height=0.3,
+                      gait_freq=None, swing_clearance=0.06, horizon=10,
+                      dt_plan=0.02):
+    """Trot-template references (refs_z (H+1,NZ), refs_u (H,NU), and the
+    input warm start U0). The template carries the PREFERRED gait rhythm
+    and terrain-aware foothold arcs; complementarity against the real
+    height field decides the actual contact (e.g. touchdown height on a
+    box comes from the terrain, not from the template's flat-ground
+    guess — both template foot z and warm-start forces are terrain-lifted
+    here so the box is in the initial guess too)."""
+    from legged_mpc_control_tpu.control import raibert
+    from legged_mpc_control_tpu.ops import so3
+
+    dtype = z0.dtype
+    if gait_freq is None:
+        gait_freq = float(params.gait_counter_speed)
+    pos, eul, v = z0[0:3], z0[3:6], z0[6:9]
+    feet0 = z0[12:24].reshape(4, 3)
+    yaw = eul[2]
+    Rz = so3.rot_z(yaw)
+    v_d = Rz @ jnp.array([velx, 0.0, 0.0], dtype)
+
+    # footholds: Raibert target, z snapped to the terrain
+    target_abs, _ = raibert.raibert_footholds(
+        pos, v, Rz, jnp.array([velx, 0.0, 0.0], dtype), params,
+        terrain=terrain)
+    target_world = target_abs + pos[None, :]
+    tgt_h = terrain_mod.height_at(terrain, target_world[:, 0:2])
+    target_world = target_world.at[:, 2].set(tgt_h)
+
+    offs = jnp.array([0.0, 0.5, 0.5, 0.0], dtype)
+    ks = jnp.arange(horizon + 1, dtype=dtype)
+    phase_k = jnp.mod((t + ks * dt_plan)[:, None] * gait_freq
+                      + offs[None, :], 1.0)                 # (H+1, 4)
+    stance_k = phase_k < 0.5
+    swing_s = jnp.clip((phase_k - 0.5) * 2.0, 0.0, 1.0)
+
+    # body reference: terrain-following height at each stage's xy
+    pos_k = pos[None, :] + ks[:, None] * dt_plan * v_d[None, :]
+    ground_k = terrain_mod.height_at(terrain, pos_k[:, 0:2])
+    pos_k = pos_k.at[:, 2].set(ground_k + body_height)
+    eul_k = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], dtype) * yaw, (horizon + 1, 3))
+
+    # foot reference: stance holds the (terrain-snapped) foothold, swing
+    # arcs from the current foot toward it with clearance
+    hold = jnp.where(stance_k[0][:, None], feet0, target_world)
+    lerp = (feet0[None] * (1.0 - swing_s)[..., None]
+            + target_world[None] * swing_s[..., None])     # (H+1,4,3)
+    arc_z = (lerp[..., 2]
+             + swing_clearance * jnp.sin(jnp.pi * swing_s))
+    swing_traj = lerp.at[..., 2].set(arc_z)
+    feet_k = jnp.where(stance_k[..., None], hold[None], swing_traj)
+
+    refs_z = jnp.concatenate([
+        pos_k, eul_k,
+        jnp.broadcast_to(v_d, (horizon + 1, 3)),
+        jnp.zeros((horizon + 1, 3), dtype),
+        feet_k.reshape(horizon + 1, -1)], axis=1)
+
+    # input template/warm start: weight shared over template-stance feet,
+    # foot velocities from the template foot-path differences
+    n_st = jnp.maximum(jnp.sum(stance_k[:-1], axis=1), 1.0)
+    fz0 = (params.mass * GRAV / n_st)[:, None] * stance_k[:-1]
+    f_ref = jnp.zeros((horizon, 4, 3), dtype).at[:, :, 2].set(fz0)
+    w_ref = (feet_k[1:] - feet_k[:-1]) / dt_plan
+    refs_u = jnp.concatenate([f_ref.reshape(horizon, -1),
+                              w_ref.reshape(horizon, -1)], axis=1)
+    return refs_z, refs_u, refs_u
+
+
+def make_ci_walk_policy(params, terrain=None, velx=0.2, body_height=0.3,
+                        gait_freq=None, horizon=10, dt_plan=0.02,
+                        iters=12, fz_min=2.0):
+    """The contact-implicit engine as an LciMpc-seam policy
+    `(x40, t) -> (78,)` (reference: LciMpc.cpp:95-139 exec_policy
+    contract). Each tick re-solves the CI trajectory optimization from
+    the measured state; first-stage GRFs and the optimized foot path
+    become the torque mapping / swing targets."""
+    from legged_mpc_control_tpu.ops import so3
+
+    if terrain is None:
+        terrain = terrain_mod.flat()
+    if gait_freq is None:
+        gait_freq = float(params.gait_counter_speed)
+
+    def policy(x, t):
+        dtype = x.dtype
+        pos, eul = x[0:3], x[3:6]
+        foot_abs = x[6:18].reshape(4, 3)       # CoM-origin world axes
+        v, omega = x[18:21], x[21:24]
+        feet_w = foot_abs + pos[None, :]
+        z0 = jnp.concatenate([pos, eul, v, omega, feet_w.reshape(-1)])
+
+        refs_z, refs_u, U0 = make_ci_reference(
+            z0, t, terrain, params, velx=velx, body_height=body_height,
+            gait_freq=gait_freq, horizon=horizon, dt_plan=dt_plan)
+        Rz = so3.rot_z(eul[2])
+        inertia_w = Rz @ params.trunk_inertia.astype(dtype) @ Rz.T
+        U, Z, _cost = ci_solve(
+            z0, U0, refs_z, refs_u, terrain, params.mass.astype(dtype),
+            inertia_w, params.mu.astype(dtype), iters=iters, dt=dt_plan)
+
+        f0 = U[0, 0:12].reshape(4, 3)
+        loaded = (f0[:, 2] > fz_min).astype(dtype)
+        u = (f0 * loaded[:, None]).reshape(-1)
+
+        # desired foot positions: the optimized path one planning step
+        # ahead (world frame, the seam's optimized_state foot slots)
+        foot_tgt = Z[1, 12:24].reshape(4, 3)
+        pos_des = refs_z[1, 0:3]
+        eul_des = refs_z[1, 3:6]
+        v_d = refs_z[1, 6:9]
+
+        state_des = jnp.concatenate([pos_des, eul_des,
+                                     foot_tgt.reshape(-1)])
+        vel_des = jnp.concatenate([v_d, jnp.zeros(3, dtype),
+                                   U[0, 12:24]])
+        state_ref = state_des
+        vel_ref = jnp.zeros(12, dtype)
+        return jnp.concatenate([u, state_des, vel_des, state_ref,
+                                vel_ref])
+
+    return policy
