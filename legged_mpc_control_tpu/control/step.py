@@ -312,11 +312,14 @@ def closed_loop_tick_lci(loop: LoopState, lci_state, params: RobotParams,
                          stand_policy, walk_policy, t, *,
                          substeps: int = C.SUBSTEPS_PER_MPC_TICK,
                          kf_type: int = 0,
-                         low_level_type: int = 0):
+                         low_level_type: int = 0,
+                         terrain=None):
     """One closed-loop MPC period through the LCI-MPC backend
     (reference: LciMpc::update in the MPC thread, LciMpc.cpp:45-153 +
     main.cpp:113-121 mpc_type 0). Same structure as `closed_loop_tick`
-    with the convex QP replaced by the pluggable policy seam.
+    with the convex QP replaced by the pluggable policy seam. Pass a
+    sim.terrain.Terrain for height-field ground (the CI engine's box-step
+    scenario, mpc/ci_mpc.py).
 
     Returns (loop', lci_state')."""
     from legged_mpc_control_tpu.mpc import lci_mpc
@@ -328,20 +331,20 @@ def closed_loop_tick_lci(loop: LoopState, lci_state, params: RobotParams,
     grf_normal = jnp.where(loop.sim.contact,
                            _anchored_normal_force(loop, params), 0.0)
     cs = feedback_update(cs, _sim_sensors(loop.sim, params, grf_normal),
-                         params, dt_ll, kf_type=kf_type)
+                         params, dt_ll, kf_type=kf_type, terrain=terrain)
     cs, lci_state = lci_mpc.lci_mpc_tick(
         cs, lci_state, stand_policy, walk_policy, t, dt_mpc)
 
     def substep(carry, _):
         cs, sim = carry
         cs, tau, _safe = lowlevel_update(cs, params, low_level_type)
-        sim = srb_sim.sim_step(sim, tau, params, dt_ll)
+        sim = srb_sim.sim_step(sim, tau, params, dt_ll, terrain=terrain)
         grf_n = jnp.where(sim.contact,
                           _anchored_normal_force(
                               LoopState(controller=cs, sim=sim), params),
                           0.0)
         cs = feedback_update(cs, _sim_sensors(sim, params, grf_n), params,
-                             dt_ll, kf_type=kf_type)
+                             dt_ll, kf_type=kf_type, terrain=terrain)
         return (cs, sim), None
 
     (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,

@@ -72,6 +72,7 @@ class CiWeights(NamedTuple):
     c_fb: Any            # Fischer-Burmeister complementarity residual
     c_slip: Any          # tangential foot velocity while loaded
     c_cone: Any          # friction pyramid
+    c_mask: Any          # force on mask-forbidden feet (stage-0 reality)
 
 
 # complementarity scaling: forces in f0 N, gaps in g0 m (O(1) residuals)
@@ -84,7 +85,7 @@ def default_weights(dtype=jnp.float32) -> CiWeights:
     return CiWeights(
         q_pos=a([30.0, 30.0, 120.0]),
         q_eul=a([60.0, 60.0, 30.0]),
-        q_vel=a([4.0, 4.0, 8.0]),
+        q_vel=a([20.0, 20.0, 30.0]),
         q_omega=a([1.0, 1.0, 1.0]),
         q_foot=a([18.0, 18.0, 60.0]),
         r_f=a(1e-3),
@@ -92,6 +93,7 @@ def default_weights(dtype=jnp.float32) -> CiWeights:
         c_fb=a(40.0),
         c_slip=a(8.0),
         c_cone=a(10.0),
+        c_mask=a(60.0),
     )
 
 
@@ -128,8 +130,16 @@ def ci_dynamics(z, u, mass, inertia_w_inv, dt):
     return jnp.concatenate([pos2, eul2, v2, om2, feet2.reshape(-1)])
 
 
-def ci_stage_cost(z, u, ref_z, ref_u, terrain, wts: CiWeights, mu, rho):
-    """Tracking + relaxed complementarity. All terms smooth in (z, u)."""
+def ci_stage_cost(z, u, ref_z, ref_u, terrain, wts: CiWeights, mu, rho,
+                  f_mask=None):
+    """Tracking + relaxed complementarity. All terms smooth in (z, u).
+
+    f_mask: optional (4,) in [0,1]; feet with mask 0 are penalized for
+    carrying normal force at this stage — how the policy tells the solver
+    which feet have physically registered contact RIGHT NOW (stage 0), so
+    the plan redistributes support instead of counting on a foot the
+    executor will gate out (the condensed distilled policy encodes the
+    same fact as sched[0] = measured support, mpc/lci_mpc.py)."""
     pos, eul, v, om = z[0:3], z[3:6], z[6:9], z[9:12]
     feet = z[12:24].reshape(4, 3)
     f = u[0:12].reshape(4, 3)
@@ -154,6 +164,8 @@ def ci_stage_cost(z, u, ref_z, ref_u, terrain, wts: CiWeights, mu, rho):
             + wts.c_cone * jnp.sum(
                 _sp((jnp.abs(f[:, 0]) - mu * fz) / F0, rho) ** 2
                 + _sp((jnp.abs(f[:, 1]) - mu * fz) / F0, rho) ** 2))
+    if f_mask is not None:
+        comp = comp + wts.c_mask * jnp.sum(((1.0 - f_mask) * a) ** 2)
     return track + comp
 
 
@@ -166,12 +178,14 @@ def _rollout(z0, U, mass, inertia_w_inv, dt):
 
 
 def _total_cost(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
-                inertia_w_inv, dt):
+                inertia_w_inv, dt, f_mask=None):
     Z = _rollout(z0, U, mass, inertia_w_inv, dt)
+    if f_mask is None:
+        f_mask = jnp.ones((U.shape[0], 4), U.dtype)
     stage = jax.vmap(
-        lambda z, u, rz, ru: ci_stage_cost(z, u, rz, ru, terrain, wts,
-                                           mu, rho)
-    )(Z[:-1], U, refs_z[:-1], refs_u)
+        lambda z, u, rz, ru, fm: ci_stage_cost(z, u, rz, ru, terrain, wts,
+                                               mu, rho, fm)
+    )(Z[:-1], U, refs_z[:-1], refs_u, f_mask)
     # terminal: body+foot tracking only
     zT, rT = Z[-1], refs_z[-1]
     term = (jnp.sum(wts.q_pos * (zT[0:3] - rT[0:3]) ** 2)
@@ -182,7 +196,7 @@ def _total_cost(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
 
 @partial(jax.jit, static_argnames=("iters", "dt"))
 def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
-             mu, wts: CiWeights = None, *, iters=16, dt=0.02,
+             mu, wts: CiWeights = None, f_mask=None, *, iters=16, dt=0.02,
              rho0=0.5, rho_min=0.05, reg=1e-2, state_reg=1e-1,
              f_scale=F0):
     """Gauss-Newton iLQR with an annealed complementarity relaxation.
@@ -207,6 +221,8 @@ def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
         wts = default_weights(z0.dtype)
     dtype = z0.dtype
     H = U0.shape[0]
+    if f_mask is None:
+        f_mask = jnp.ones((H, 4), dtype)
     inertia_w_inv = jnp.linalg.inv(inertia_w)
     alphas = jnp.array([1.0, 0.5, 0.25, 0.05], dtype)
     s_u = jnp.concatenate([jnp.full((12,), f_scale, dtype),
@@ -216,22 +232,24 @@ def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
     Fz_fn = jax.vmap(jax.jacfwd(dyn, argnums=0))
     Fu_fn = jax.vmap(jax.jacfwd(dyn, argnums=1))
 
-    def stage_c(z, uh, rz, ru, rho):
-        return ci_stage_cost(z, s_u * uh, rz, ru, terrain, wts, mu, rho)
+    def stage_c(z, uh, rz, ru, fm, rho):
+        return ci_stage_cost(z, s_u * uh, rz, ru, terrain, wts, mu, rho,
+                             fm)
 
     def total_c(z0_, Uh, rho):
         return _total_cost(z0_, s_u[None, :] * Uh, refs_z, refs_u,
-                           terrain, wts, mu, rho, mass, inertia_w_inv, dt)
+                           terrain, wts, mu, rho, mass, inertia_w_inv, dt,
+                           f_mask)
 
     def quadratize(Z, Uh, rho):
         zu = jnp.concatenate([Z[:-1], Uh], axis=1)         # (H, NZ+NU)
 
-        def one(zu_k, rz, ru):
-            c = lambda p: stage_c(p[:NZ], p[NZ:], rz, ru, rho)
+        def one(zu_k, rz, ru, fm):
+            c = lambda p: stage_c(p[:NZ], p[NZ:], rz, ru, fm, rho)
             g = jax.grad(c)(zu_k)
             Hm = jax.hessian(c)(zu_k)
             return g, 0.5 * (Hm + Hm.T)
-        g, Hm = jax.vmap(one)(zu, refs_z[:-1], refs_u)
+        g, Hm = jax.vmap(one)(zu, refs_z[:-1], refs_u, f_mask)
         return g, Hm
 
     def term_grad_hess(zT):
@@ -316,7 +334,8 @@ def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
 
 def make_ci_reference(z0, t, terrain, params, velx=0.2, body_height=0.3,
                       gait_freq=None, swing_clearance=0.06, horizon=10,
-                      dt_plan=0.02):
+                      dt_plan=0.02, offsets=(0.0, 0.5, 0.5, 0.0),
+                      stance_frac=0.5):
     """Trot-template references (refs_z (H+1,NZ), refs_u (H,NU), and the
     input warm start U0). The template carries the PREFERRED gait rhythm
     and terrain-aware foothold arcs; complementarity against the real
@@ -344,33 +363,62 @@ def make_ci_reference(z0, t, terrain, params, velx=0.2, body_height=0.3,
     tgt_h = terrain_mod.height_at(terrain, target_world[:, 0:2])
     target_world = target_world.at[:, 2].set(tgt_h)
 
-    offs = jnp.array([0.0, 0.5, 0.5, 0.0], dtype)
+    # template clock: offsets/stance_frac select the gait — (0,.5,.5,0)
+    # at 0.5 is the diagonal trot; (0,.5,.75,.25) at 0.75 is the one-leg-
+    # at-a-time crawl (the reference's standing_trot regime, gait.info)
+    # that keeps >= 3 feet down for quasi-static riser climbs
+    offs = jnp.asarray(offsets, dtype)
     ks = jnp.arange(horizon + 1, dtype=dtype)
     phase_k = jnp.mod((t + ks * dt_plan)[:, None] * gait_freq
                       + offs[None, :], 1.0)                 # (H+1, 4)
-    stance_k = phase_k < 0.5
-    swing_s = jnp.clip((phase_k - 0.5) * 2.0, 0.0, 1.0)
+    stance_k = phase_k < stance_frac
+    # complete the swing by 75% of the swing window: the template (and so
+    # the plan) reaches the foothold with margin before the clock flips
+    # the leg to stance — otherwise the plan foresees a support gap at
+    # every touchdown (real feet land late by the PD tracking lag) and
+    # compensates by pre-loading the outgoing diagonal, porpoising the
+    # body (same margin as the distilled policy, mpc/lci_mpc.py)
+    swing_s = jnp.clip((phase_k - stance_frac)
+                       / (1.0 - stance_frac) / 0.75, 0.0, 1.0)
 
-    # body reference: terrain-following height at each stage's xy
+    # body reference: terrain-following height, approached at a BOUNDED
+    # rate with the matching vertical velocity reference — an absolute
+    # height target with v_ref_z = 0 makes the velocity-tracking term
+    # veto its own position recovery (the plan then just sustains mg and
+    # the height error persists); the convex path's reference builder
+    # saturates the same way (mpc/reference.py)
+    z_rate = jnp.asarray(0.3, dtype)                        # m/s
     pos_k = pos[None, :] + ks[:, None] * dt_plan * v_d[None, :]
     ground_k = terrain_mod.height_at(terrain, pos_k[:, 0:2])
-    pos_k = pos_k.at[:, 2].set(ground_k + body_height)
+    z_tgt = ground_k + body_height
+    dz = z_tgt - pos[2]
+    z_k = pos[2] + jnp.clip(dz, -z_rate * ks * dt_plan,
+                            z_rate * ks * dt_plan)
+    pos_k = pos_k.at[:, 2].set(z_k)
+    vz_k = jnp.diff(z_k, append=z_k[-1:]) / dt_plan         # (H+1,)
     eul_k = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 1.0], dtype) * yaw, (horizon + 1, 3))
 
     # foot reference: stance holds the (terrain-snapped) foothold, swing
-    # arcs from the current foot toward it with clearance
+    # arcs toward it. The arc's HEIGHT profile is anchored to the terrain
+    # under liftoff/landing (ground0 -> target height + clearance bump),
+    # NOT to the live foot z: a re-planned arc based on the current foot
+    # would re-add clearance on top of wherever the foot already is, and
+    # in closed loop that feedback ratchets the swing ever higher.
     hold = jnp.where(stance_k[0][:, None], feet0, target_world)
+    ground0 = terrain_mod.height_at(terrain, feet0[:, 0:2])
     lerp = (feet0[None] * (1.0 - swing_s)[..., None]
             + target_world[None] * swing_s[..., None])     # (H+1,4,3)
-    arc_z = (lerp[..., 2]
+    arc_z = ((1.0 - swing_s) * ground0[None]
+             + swing_s * tgt_h[None]
              + swing_clearance * jnp.sin(jnp.pi * swing_s))
     swing_traj = lerp.at[..., 2].set(arc_z)
     feet_k = jnp.where(stance_k[..., None], hold[None], swing_traj)
 
+    v_k = jnp.broadcast_to(v_d, (horizon + 1, 3))
+    v_k = jnp.concatenate([v_k[:, 0:2], vz_k[:, None]], axis=1)
     refs_z = jnp.concatenate([
-        pos_k, eul_k,
-        jnp.broadcast_to(v_d, (horizon + 1, 3)),
+        pos_k, eul_k, v_k,
         jnp.zeros((horizon + 1, 3), dtype),
         feet_k.reshape(horizon + 1, -1)], axis=1)
 
@@ -385,14 +433,22 @@ def make_ci_reference(z0, t, terrain, params, velx=0.2, body_height=0.3,
     return refs_z, refs_u, refs_u
 
 
-def make_ci_walk_policy(params, terrain=None, velx=0.2, body_height=0.3,
-                        gait_freq=None, horizon=10, dt_plan=0.02,
-                        iters=12, fz_min=2.0):
-    """The contact-implicit engine as an LciMpc-seam policy
-    `(x40, t) -> (78,)` (reference: LciMpc.cpp:95-139 exec_policy
-    contract). Each tick re-solves the CI trajectory optimization from
-    the measured state; first-stage GRFs and the optimized foot path
-    become the torque mapping / swing targets."""
+def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
+                        gait_freq=2.5, horizon=10, dt_plan=0.02,
+                        iters=32, fz_min=2.0, wts: CiWeights = None,
+                        offsets=(0.0, 0.5, 0.5, 0.0), stance_frac=0.5):
+    """The contact-implicit engine as a STATEFUL LciMpc-seam policy
+    `(x40, t, warm) -> ((78,), warm')` (reference: LciMpc.cpp:95-139
+    exec_policy contract; the warm slot rides LciState.policy_warm).
+    Each tick re-solves the CI trajectory optimization from the measured
+    state, warm-started from the previous tick's solution — without the
+    warm carry adjacent replans chatter between nearby local optima of
+    the complementarity landscape and the executed forces flip, which is
+    what destabilizes the gait. First-stage GRFs and the optimized foot
+    path become the torque mapping / swing targets.
+
+    Init the seam with `lci_init(dtype, policy_warm=policy.warm_init())`.
+    """
     from legged_mpc_control_tpu.ops import so3
 
     if terrain is None:
@@ -400,7 +456,7 @@ def make_ci_walk_policy(params, terrain=None, velx=0.2, body_height=0.3,
     if gait_freq is None:
         gait_freq = float(params.gait_counter_speed)
 
-    def policy(x, t):
+    def policy(x, t, warm):
         dtype = x.dtype
         pos, eul = x[0:3], x[3:6]
         foot_abs = x[6:18].reshape(4, 3)       # CoM-origin world axes
@@ -410,20 +466,61 @@ def make_ci_walk_policy(params, terrain=None, velx=0.2, body_height=0.3,
 
         refs_z, refs_u, U0 = make_ci_reference(
             z0, t, terrain, params, velx=velx, body_height=body_height,
-            gait_freq=gait_freq, horizon=horizon, dt_plan=dt_plan)
+            gait_freq=gait_freq, horizon=horizon, dt_plan=dt_plan,
+            offsets=offsets, stance_frac=stance_frac)
         Rz = so3.rot_z(eul[2])
         inertia_w = Rz @ params.trunk_inertia.astype(dtype) @ Rz.T
+        # stage 0 carries the MEASURED support: only feet that are down
+        # (position gap or registered force — the force estimate lags a
+        # touchdown by a tick) may push now; later stages plan freely
+        gap0 = feet_w[:, 2] - terrain_mod.height_at(terrain,
+                                                    feet_w[:, 0:2])
+        grounded_now = ((x[36:40] > 2.0) | (gap0 < 0.003)).astype(dtype)
+        f_mask = jnp.ones((horizon, 4), dtype).at[0].set(grounded_now)
+        # cross-tick warm start: previous tick's trajectory (the state
+        # advanced only one 10 ms tick, under one plan stage — no shift)
+        U0 = jnp.where(warm["valid"] > 0.5, warm["u"], U0)
         U, Z, _cost = ci_solve(
             z0, U0, refs_z, refs_u, terrain, params.mass.astype(dtype),
-            inertia_w, params.mu.astype(dtype), iters=iters, dt=dt_plan)
+            inertia_w, params.mu.astype(dtype), wts, f_mask, iters=iters,
+            dt=dt_plan)
 
         f0 = U[0, 0:12].reshape(4, 3)
         loaded = (f0[:, 2] > fz_min).astype(dtype)
-        u = (f0 * loaded[:, None]).reshape(-1)
+        # execute force only through feet that BOTH the optimizer loads
+        # AND the hardware/sim actually reports grounded — commanding
+        # GRF through a foot millimetres in the air silently drops that
+        # support and random-walks the attitude. Feet the plan loads but
+        # that have not registered force yet get a bootstrap push so the
+        # contact can establish (same two rules as the distilled policy,
+        # mpc/lci_mpc.py make_walk_policy).
+        # grounded = physically at the surface (position gap) OR already
+        # carrying force: the foot-force estimate is quasi-static from
+        # the last commanded torques and lags a touchdown by a tick,
+        # which is exactly when support gating must not drop the foot
+        grounded0 = grounded_now
+        support = loaded * grounded0
+        boot = (loaded * (1.0 - grounded0))[:, None] \
+            * jnp.array([0.0, 0.0, 2.0 * jnp.maximum(fz_min, 5.0)],
+                        dtype)[None, :]
+        u = (f0 * support[:, None] + boot).reshape(-1)
 
         # desired foot positions: the optimized path one planning step
-        # ahead (world frame, the seam's optimized_state foot slots)
+        # ahead (world frame, the seam's optimized_state foot slots).
+        # Execution fix-up around the contact boundary (the optimizer's
+        # own z respects gap >= 0 exactly, so a raw target leaves the
+        # foot hovering by the PD tracking error and contact flickers —
+        # the distilled policy handles it identically,
+        # mpc/lci_mpc.py make_walk_policy):
+        #   loaded + already grounded -> hold the current foot position;
+        #   loaded but still airborne -> aim 1 cm below the surface to
+        #   drive the touchdown through;
+        #   unloaded (swing)          -> the optimized arc as-is.
         foot_tgt = Z[1, 12:24].reshape(4, 3)
+        g_tgt = terrain_mod.height_at(terrain, foot_tgt[:, 0:2])
+        press = foot_tgt.at[:, 2].set(g_tgt - 0.01)
+        stance_tgt = jnp.where(grounded0[:, None] > 0.5, feet_w, press)
+        foot_tgt = jnp.where(loaded[:, None] > 0.5, stance_tgt, foot_tgt)
         pos_des = refs_z[1, 0:3]
         eul_des = refs_z[1, 3:6]
         v_d = refs_z[1, 6:9]
@@ -434,7 +531,12 @@ def make_ci_walk_policy(params, terrain=None, velx=0.2, body_height=0.3,
                                    U[0, 12:24]])
         state_ref = state_des
         vel_ref = jnp.zeros(12, dtype)
-        return jnp.concatenate([u, state_des, vel_des, state_ref,
-                                vel_ref])
+        out = jnp.concatenate([u, state_des, vel_des, state_ref,
+                               vel_ref])
+        return out, {"u": U, "valid": jnp.ones((), dtype)}
 
+    policy.ci_stateful = True
+    policy.warm_init = lambda dtype=jnp.float32: {
+        "u": jnp.zeros((horizon, NU), dtype),
+        "valid": jnp.zeros((), dtype)}
     return policy

@@ -40,19 +40,26 @@ OUT_DIM = 78
 
 @struct.dataclass
 class LciState:
-    """Filter + clock state (reference: LciMpc.cpp:37-59)."""
+    """Filter + clock state (reference: LciMpc.cpp:37-59), plus an opaque
+    warm-start slot for stateful engines (the CI optimizer carries its
+    previous input trajectory across ticks here — the same cross-tick
+    reuse the convex solvers get from their warm carry)."""
     prev_foot_pos: Any        # (4,3) previous tick foot pos (2-tap filter)
     prev_foot_vel: Any        # (4,3)
     policy_time: Any          # time since mode switch
     prev_mode: Any            # int32
+    policy_warm: Any = None   # engine-defined pytree (None for stateless)
 
 
-def lci_init(dtype=jnp.float32) -> LciState:
+def lci_init(dtype=jnp.float32, policy_warm=None) -> LciState:
+    """policy_warm: initial warm slot for a stateful walk policy (use
+    `policy.warm_init()` for the CI engine, mpc/ci_mpc.py)."""
     return LciState(
         prev_foot_pos=jnp.zeros((4, 3), dtype=dtype),
         prev_foot_vel=jnp.zeros((4, 3), dtype=dtype),
         policy_time=jnp.zeros((), dtype=dtype),
         prev_mode=jnp.zeros((), dtype=jnp.int32),
+        policy_warm=policy_warm,
     )
 
 
@@ -86,7 +93,11 @@ def lci_mpc_tick(state: ControllerState, lci: LciState,
     x, fp, fv = pack_policy_state(fbk, lci)
 
     out_stand = stand_policy(x, policy_time)
-    out_walk = walk_policy(x, policy_time)
+    # stateful engines (ci_stateful attr) take and return their warm slot
+    if getattr(walk_policy, "ci_stateful", False):
+        out_walk, warm2 = walk_policy(x, policy_time, lci.policy_warm)
+    else:
+        out_walk, warm2 = walk_policy(x, policy_time), lci.policy_warm
     out = jnp.where(mode == 0, out_stand, out_walk)
 
     u = out[0:12]
@@ -109,7 +120,8 @@ def lci_mpc_tick(state: ControllerState, lci: LciState,
     new_lci = LciState(prev_foot_pos=fbk.foot_pos_abs,
                        prev_foot_vel=fbk.foot_vel_abs,
                        policy_time=policy_time,
-                       prev_mode=mode)
+                       prev_mode=mode,
+                       policy_warm=warm2)
     return state.replace(ctrl=new_ctrl,
                          mpc_inited=jnp.ones((), dtype=bool)), new_lci
 
