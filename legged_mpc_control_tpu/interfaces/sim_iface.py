@@ -39,23 +39,34 @@ class SimInterface(BaseInterface):
             controller=step_mod.controller_init(params, dtype=dtype,
                                                 body_height=body_height),
             sim=srb_sim.sim_init(params, height=height, dtype=dtype))
-        if mpc_type == "lci":
-            # LCI backend: stand + walk policies through the pluggable
-            # seam (reference: main.cpp:113-121 mpc_type 0)
+        if mpc_type in ("lci", "ci"):
+            # LCI backend seam (reference: main.cpp:113-121 mpc_type 0):
+            # "lci" = the distilled convex walk policy; "ci" = the true
+            # contact-implicit trajectory optimizer (mpc/ci_mpc.py),
+            # warm-started across ticks through LciState.policy_warm
             from legged_mpc_control_tpu.mpc import lci_mpc
 
-            self.lci = lci_mpc.lci_init(dtype=dtype)
             self._stand_policy = lci_mpc.make_stand_policy(
                 params, body_height=body_height)
-            self._walk_policy = lci_mpc.make_walk_policy(
-                params, velx=walk_velx, body_height=body_height)
+            if mpc_type == "ci":
+                from legged_mpc_control_tpu.mpc import ci_mpc
+
+                self._walk_policy = ci_mpc.make_ci_walk_policy(
+                    params, velx=walk_velx, body_height=body_height)
+                self.lci = lci_mpc.lci_init(
+                    dtype=dtype,
+                    policy_warm=self._walk_policy.warm_init(dtype))
+            else:
+                self._walk_policy = lci_mpc.make_walk_policy(
+                    params, velx=walk_velx, body_height=body_height)
+                self.lci = lci_mpc.lci_init(dtype=dtype)
 
     def tick(self, n: int = 1):
         """Advance n MPC periods fully on device."""
         from legged_mpc_control_tpu import constants as C
 
         for _ in range(n):
-            if self.mpc_type == "lci":
+            if self.mpc_type in ("lci", "ci"):
                 self.loop, self.lci = step_mod.closed_loop_tick_lci(
                     self.loop, self.lci, self.params,
                     self._stand_policy, self._walk_policy,

@@ -23,8 +23,11 @@ def build_parser():
         description="TPU-native legged convex-MPC runtime")
     p.add_argument("--robot", choices=["a1", "go1"], default="a1",
                    help="robot_type (reference: main.cpp:36-44)")
-    p.add_argument("--mpc", choices=["convex", "lci"], default="convex",
-                   help="mpc_type 1=convex, 0=lci (reference: main.cpp:113)")
+    p.add_argument("--mpc", choices=["convex", "lci", "ci"],
+                   default="convex",
+                   help="mpc_type 1=convex, 0=lci (reference: main.cpp:113)"
+                        "; 'ci' runs the true contact-implicit optimizer "
+                        "(mpc/ci_mpc.py) in the lci seam")
     p.add_argument("--kf", type=int, choices=[0, 1, 2], default=0,
                    help="kf_type: 0 ground truth (sim only), 1 linear KF, "
                         "2 EKF (reference: BaseInterface.cpp:404-449)")
@@ -111,6 +114,10 @@ def main(argv=None):
     if args.mpc == "lci":
         print("LCI-MPC backend: built-in stand + trot-walk policies "
               "through the pluggable policy seam (mpc/lci_mpc.py)")
+    elif args.mpc == "ci":
+        print("contact-implicit MPC backend: FB-complementarity iLQR "
+              "(mpc/ci_mpc.py) through the policy seam, warm-started "
+              "across ticks")
 
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.config:
