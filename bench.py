@@ -76,11 +76,11 @@ def bench_throughput(ge, backend, horizon, batch, iters=15):
 
 
 def bench_closed_loop(backend, batch=4096, horizon=10, n_ticks=10,
-                      iters=8):
+                      iters=6):
     """Closed-loop scenario-ticks/s: full tick (feedback + MPC + 8 substeps
     of low-level + sim), batch routed through the batched Pallas solver.
 
-    iters=8 is the warm-started closed-loop operating point: the rollout
+    iters=6 is the warm-started closed-loop operating point: the rollout
     carries each tick's primal to the next (reference:
     ConvexQPSolver.cpp:185), and a 100-tick fidelity gate below proves the
     trajectory matches a 20-iteration run to sub-mm before anything is

@@ -352,6 +352,55 @@ def closed_loop_tick_lci(loop: LoopState, lci_state, params: RobotParams,
     return LoopState(controller=cs, sim=sim), lci_state
 
 
+@partial(jax.jit, static_argnames=("stand_policy", "walk_policy",
+                                   "substeps", "kf_type",
+                                   "low_level_type", "n_inner"))
+def closed_loop_tick_lci_wb(loop: LoopState, lci_state,
+                            params: RobotParams, model, stand_policy,
+                            walk_policy, t, *,
+                            substeps: int = C.SUBSTEPS_PER_MPC_TICK,
+                            kf_type: int = 0,
+                            low_level_type: int = 0,
+                            n_inner: int = 4,
+                            terrain=None,
+                            wall=None):
+    """LCI-MPC seam against the ARTICULATED whole-body simulator — the
+    contact-implicit backend validated at torque level through full
+    rigid-body dynamics, optionally with a vertical wall in the world
+    (sim.terrain.Wall): the reference's CI-MPC wall-lean capability
+    (reference: README.md:14) runs through this tick
+    (tests/test_ci_wall_lean.py).
+
+    `loop.sim` must be a wb_sim.WbSimState. Returns (loop', lci_state')."""
+    from legged_mpc_control_tpu.mpc import lci_mpc
+    from legged_mpc_control_tpu.sim import wb_sim
+
+    dt_mpc = C.MPC_DT
+    dt_ll = dt_mpc / substeps
+
+    cs = loop.controller
+    cs = feedback_update(cs, wb_sim.wb_read_sensors(loop.sim, model),
+                         params, dt_ll, kf_type=kf_type, terrain=terrain)
+    cs, lci_state = lci_mpc.lci_mpc_tick(
+        cs, lci_state, stand_policy, walk_policy, t, dt_mpc)
+
+    def substep(carry, _):
+        cs, sim = carry
+        cs, tau, _safe = lowlevel_update(cs, params, low_level_type,
+                                         wb_model=model)
+        sim = wb_sim.wb_sim_step(sim, tau, model, params, dt_ll,
+                                 n_inner=n_inner, terrain=terrain,
+                                 wall=wall)
+        cs = feedback_update(cs, wb_sim.wb_read_sensors(sim, model),
+                             params, dt_ll, kf_type=kf_type,
+                             terrain=terrain)
+        return (cs, sim), None
+
+    (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
+                                length=substeps)
+    return LoopState(controller=cs, sim=sim), lci_state
+
+
 def default_backend() -> str:
     """Solver backend for the batched QP kernels: Pallas batch-in-lanes
     Cholesky on TPU, XLA linalg elsewhere (CPU tests / f64 oracles)."""

@@ -108,6 +108,30 @@ def _fb(a, b, rho):
     return a + b - jnp.sqrt(a * a + b * b + rho * rho)
 
 
+def env_gap_normal(terrain, wall, p, beta=0.03):
+    """Smooth gap function and contact normal of the whole environment —
+    the ground height field plus an optional vertical wall
+    (sim.terrain.Wall) — at points p (..., 3).
+
+    The two half-space gaps are blended by a sigmoid softmin of width
+    `beta` so gap and normal are smooth in p everywhere, including at the
+    ground/wall corner: near the wall the contact normal rotates from +z
+    to the wall normal, which is what lets one foot-force vector carry
+    BOTH the ground complementarity and the wall complementarity without
+    double-counting (the closer surface owns the contact)."""
+    gap_g = p[..., 2] - terrain_mod.height_at(terrain, p[..., 0:2])
+    up = jnp.array([0.0, 0.0, 1.0], p.dtype)
+    if wall is None:
+        return gap_g, jnp.broadcast_to(up, p.shape)
+    gap_w = terrain_mod.wall_gap(wall, p)
+    w_wall = jax.nn.sigmoid((gap_g - gap_w) / beta)    # ~1 where wall closer
+    gap = w_wall * gap_w + (1.0 - w_wall) * gap_g
+    n = (w_wall[..., None] * wall.normal.astype(p.dtype)
+         + (1.0 - w_wall[..., None]) * up)
+    n = n / jnp.sqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
+    return gap, n
+
+
 def ci_dynamics(z, u, mass, inertia_w_inv, dt):
     """One smooth SRB+feet step. inertia_w_inv: (3,3) world-frame inverse
     trunk inertia (fixed at the current yaw — the same time-invariant
@@ -131,7 +155,7 @@ def ci_dynamics(z, u, mass, inertia_w_inv, dt):
 
 
 def ci_stage_cost(z, u, ref_z, ref_u, terrain, wts: CiWeights, mu, rho,
-                  f_mask=None):
+                  f_mask=None, wall=None):
     """Tracking + relaxed complementarity. All terms smooth in (z, u).
 
     f_mask: optional (4,) in [0,1]; feet with mask 0 are penalized for
@@ -155,15 +179,31 @@ def ci_stage_cost(z, u, ref_z, ref_u, terrain, wts: CiWeights, mu, rho,
              + wts.r_f * jnp.sum((u[0:12] - ref_u[0:12]) ** 2)
              + wts.r_w * jnp.sum((u[12:24] - ref_u[12:24]) ** 2))
 
-    gap = feet[:, 2] - terrain_mod.height_at(terrain, feet[:, 0:2])
-    a = fz / F0                                  # scaled normal force
-    b = gap / G0                                 # scaled gap
-    comp = (wts.c_fb * jnp.sum(_fb(a, b, rho) ** 2)
-            + wts.c_slip * jnp.sum(_sp(a, rho)[:, None]
-                                   * w[:, 0:2] ** 2)
-            + wts.c_cone * jnp.sum(
-                _sp((jnp.abs(f[:, 0]) - mu * fz) / F0, rho) ** 2
-                + _sp((jnp.abs(f[:, 1]) - mu * fz) / F0, rho) ** 2))
+    if wall is None:
+        # flat-normal fast path (byte-identical to the pre-wall model)
+        gap = feet[:, 2] - terrain_mod.height_at(terrain, feet[:, 0:2])
+        a = fz / F0                              # scaled normal force
+        b = gap / G0                             # scaled gap
+        comp = (wts.c_fb * jnp.sum(_fb(a, b, rho) ** 2)
+                + wts.c_slip * jnp.sum(_sp(a, rho)[:, None]
+                                       * w[:, 0:2] ** 2)
+                + wts.c_cone * jnp.sum(
+                    _sp((jnp.abs(f[:, 0]) - mu * fz) / F0, rho) ** 2
+                    + _sp((jnp.abs(f[:, 1]) - mu * fz) / F0, rho) ** 2))
+    else:
+        # generalized contact: normal/tangent decomposition against the
+        # blended environment normal (ground OR wall, whichever is closer)
+        gap, n = env_gap_normal(terrain, wall, feet)       # (4,), (4,3)
+        fn = jnp.sum(f * n, axis=-1)
+        ft = f - fn[:, None] * n
+        wt = w - jnp.sum(w * n, axis=-1, keepdims=True) * n
+        a = fn / F0
+        b = gap / G0
+        ft_mag = jnp.sqrt(jnp.sum(ft * ft, axis=-1) + 1e-8)
+        comp = (wts.c_fb * jnp.sum(_fb(a, b, rho) ** 2)
+                + wts.c_slip * jnp.sum(_sp(a, rho)[:, None] * wt ** 2)
+                + wts.c_cone * jnp.sum(
+                    _sp((ft_mag - mu * fn) / F0, rho) ** 2))
     if f_mask is not None:
         comp = comp + wts.c_mask * jnp.sum(((1.0 - f_mask) * a) ** 2)
     return track + comp
@@ -178,13 +218,13 @@ def _rollout(z0, U, mass, inertia_w_inv, dt):
 
 
 def _total_cost(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
-                inertia_w_inv, dt, f_mask=None):
+                inertia_w_inv, dt, f_mask=None, wall=None):
     Z = _rollout(z0, U, mass, inertia_w_inv, dt)
     if f_mask is None:
         f_mask = jnp.ones((U.shape[0], 4), U.dtype)
     stage = jax.vmap(
         lambda z, u, rz, ru, fm: ci_stage_cost(z, u, rz, ru, terrain, wts,
-                                               mu, rho, fm)
+                                               mu, rho, fm, wall)
     )(Z[:-1], U, refs_z[:-1], refs_u, f_mask)
     # terminal: body+foot tracking only
     zT, rT = Z[-1], refs_z[-1]
@@ -198,7 +238,7 @@ def _total_cost(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
 def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
              mu, wts: CiWeights = None, f_mask=None, *, iters=16, dt=0.02,
              rho0=0.5, rho_min=0.05, reg=1e-2, state_reg=1e-1,
-             f_scale=F0):
+             f_scale=F0, wall=None):
     """Gauss-Newton iLQR with an annealed complementarity relaxation.
 
     Args:
@@ -234,12 +274,12 @@ def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
 
     def stage_c(z, uh, rz, ru, fm, rho):
         return ci_stage_cost(z, s_u * uh, rz, ru, terrain, wts, mu, rho,
-                             fm)
+                             fm, wall)
 
     def total_c(z0_, Uh, rho):
         return _total_cost(z0_, s_u[None, :] * Uh, refs_z, refs_u,
                            terrain, wts, mu, rho, mass, inertia_w_inv, dt,
-                           f_mask)
+                           f_mask, wall)
 
     def quadratize(Z, Uh, rho):
         zu = jnp.concatenate([Z[:-1], Uh], axis=1)         # (H, NZ+NU)
@@ -533,6 +573,128 @@ def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
         vel_ref = jnp.zeros(12, dtype)
         out = jnp.concatenate([u, state_des, vel_des, state_ref,
                                vel_ref])
+        return out, {"u": U, "valid": jnp.ones((), dtype)}
+
+    policy.ci_stateful = True
+    policy.warm_init = lambda dtype=jnp.float32: {
+        "u": jnp.zeros((horizon, NU), dtype),
+        "valid": jnp.zeros((), dtype)}
+    return policy
+
+
+def make_ci_lean_reference(z0, wall, feet_target, body_pos, body_eul,
+                           params, terrain, horizon=10, dt_plan=0.02):
+    """Wall-lean hold template (reference capability: README.md:14 "lean
+    against wall"): every stage holds the lean pose — body at
+    (body_pos, body_eul), all four feet at feet_target (4,3), typically
+    front feet ON the wall plane and rear feet on the ground.
+
+    The input template splits gravity by which surface each target foot is
+    closer to: ground feet share the weight vertically; wall feet get a
+    wall-normal preload plus the friction share that vertical equilibrium
+    needs — just a warm-start basin, the FB complementarity (with the
+    blended wall/ground normal, `env_gap_normal`) owns the physics."""
+    dtype = z0.dtype
+    gap, n = env_gap_normal(terrain, wall, feet_target)
+    on_wall = (terrain_mod.wall_gap(wall, feet_target)
+               < feet_target[:, 2]
+               - terrain_mod.height_at(terrain, feet_target[:, 0:2]))
+    mg = params.mass.astype(dtype) * GRAV
+    n_ground = jnp.maximum(jnp.sum(~on_wall), 1)
+    f_wall_n = 25.0
+    # wall feet: preload along the wall normal + the vertical friction
+    # share they can sustain; ground feet: the remaining weight
+    f_wall = (f_wall_n * n + jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
+              * 0.5 * params.mu.astype(dtype) * f_wall_n)
+    lift = jnp.sum(jnp.where(on_wall, f_wall[:, 2], 0.0))
+    f_ground = jnp.zeros((4, 3), dtype).at[:, 2].set(
+        (mg - lift) / n_ground.astype(dtype))
+    f0 = jnp.where(on_wall[:, None], f_wall, f_ground)
+
+    zr = jnp.concatenate([
+        jnp.asarray(body_pos, dtype), jnp.asarray(body_eul, dtype),
+        jnp.zeros(6, dtype), feet_target.reshape(-1)])
+    refs_z = jnp.tile(zr[None], (horizon + 1, 1))
+    refs_u = jnp.tile(
+        jnp.concatenate([f0.reshape(-1), jnp.zeros(12, dtype)])[None],
+        (horizon, 1))
+    return refs_z, refs_u, refs_u
+
+
+def make_ci_lean_policy(params, wall, feet_target, body_pos, body_eul,
+                        terrain=None, horizon=10, dt_plan=0.02, iters=24,
+                        fz_min=2.0, wts: CiWeights = None):
+    """The contact-implicit engine holding a wall-lean as an LciMpc-seam
+    policy `(x40, t, warm) -> ((78,), warm')` — same seam contract as
+    `make_ci_walk_policy`. Each tick re-solves the CI optimization from
+    the measured state against the ground+wall environment; the per-foot
+    contact normal (and with it the friction geometry that lets wall feet
+    carry weight through friction) comes out of `env_gap_normal`, not a
+    schedule."""
+    from legged_mpc_control_tpu.ops import so3
+
+    if terrain is None:
+        terrain = terrain_mod.flat()
+
+    def policy(x, t, warm):
+        dtype = x.dtype
+        pos, eul = x[0:3], x[3:6]
+        foot_abs = x[6:18].reshape(4, 3)
+        v, omega = x[18:21], x[21:24]
+        feet_w = foot_abs + pos[None, :]
+        z0 = jnp.concatenate([pos, eul, v, omega, feet_w.reshape(-1)])
+
+        tgt = jnp.asarray(feet_target, dtype)
+        refs_z, refs_u, U0 = make_ci_lean_reference(
+            z0, wall, tgt, body_pos, body_eul, params, terrain,
+            horizon=horizon, dt_plan=dt_plan)
+        Rz = so3.rot_z(eul[2])
+        inertia_w = Rz @ params.trunk_inertia.astype(dtype) @ Rz.T
+
+        gap0, n0 = env_gap_normal(terrain, wall, feet_w)
+        grounded_now = ((x[36:40] > 2.0) | (gap0 < 0.003)).astype(dtype)
+        f_mask = jnp.ones((horizon, 4), dtype).at[0].set(grounded_now)
+        U0 = jnp.where(warm["valid"] > 0.5, warm["u"], U0)
+        U, Z, _cost = ci_solve(
+            z0, U0, refs_z, refs_u, terrain, params.mass.astype(dtype),
+            inertia_w, params.mu.astype(dtype), wts, f_mask, iters=iters,
+            dt=dt_plan, wall=wall)
+
+        f0 = U[0, 0:12].reshape(4, 3)
+        fn0 = jnp.sum(f0 * n0, axis=-1)
+        loaded = (fn0 > fz_min).astype(dtype)
+        support = loaded * grounded_now
+        boot = (loaded * (1.0 - grounded_now))[:, None] \
+            * (2.0 * jnp.maximum(fz_min, 5.0)) * n0
+        u = (f0 * support[:, None] + boot).reshape(-1)
+
+        # stance fix-up. Ground feet hold their measured position (the
+        # walk policy's rule); wall feet instead PD-press a target pinned
+        # 2 mm INSIDE the wall plane — holding the measured position of a
+        # foot against the stiff wall turns contact chatter into command
+        # chatter, while a plane-pinned press gives a steady spring preload
+        # and a PD-velocity-limited approach (no damping impulse on
+        # touchdown, which is what knocks the body off the lean
+        # equilibrium).
+        gap_w0 = terrain_mod.wall_gap(wall, feet_w)
+        gap_g0 = feet_w[:, 2] - terrain_mod.height_at(terrain,
+                                                      feet_w[:, 0:2])
+        on_wall0 = gap_w0 < gap_g0
+        n_w = wall.normal.astype(dtype)
+        foot_tgt = Z[1, 12:24].reshape(4, 3)
+        press_wall = feet_w - (gap_w0 + 0.002)[:, None] * n_w[None, :]
+        press_gnd = foot_tgt - 0.01 * n0
+        stance_tgt = jnp.where(grounded_now[:, None] > 0.5, feet_w,
+                               press_gnd)
+        stance_tgt = jnp.where(on_wall0[:, None], press_wall, stance_tgt)
+        foot_tgt = jnp.where(loaded[:, None] > 0.5, stance_tgt, foot_tgt)
+
+        state_des = jnp.concatenate([refs_z[1, 0:3], refs_z[1, 3:6],
+                                     foot_tgt.reshape(-1)])
+        vel_des = jnp.concatenate([refs_z[1, 6:9], jnp.zeros(3, dtype),
+                                   U[0, 12:24]])
+        out = jnp.concatenate([u, state_des, vel_des, state_des,
+                               jnp.zeros(12, dtype)])
         return out, {"u": U, "valid": jnp.ones((), dtype)}
 
     policy.ci_stateful = True

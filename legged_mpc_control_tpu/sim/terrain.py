@@ -26,6 +26,31 @@ class Terrain:
     cell: Any         # scalar grid spacing (m)
 
 
+@struct.dataclass
+class Wall:
+    """Vertical half-space obstacle: free space is {p : (p - point)·normal
+    >= 0}, i.e. `normal` is the unit contact normal pointing OUT of the
+    wall. Feeds the contact-implicit optimizer's gap function
+    (mpc/ci_mpc.py) and the articulated simulator's compliant contact
+    (sim/wb_sim.py) — the surface the reference's CI-MPC leans Go1 against
+    (reference: README.md:14 "lean against wall")."""
+    point: Any        # (3,) any point on the wall plane
+    normal: Any       # (3,) unit normal into free space
+
+
+def wall_at_x(x, dtype=jnp.float32) -> Wall:
+    """Wall plane x = `x` with free space on the -x side (robot approaches
+    walking +x)."""
+    return Wall(point=jnp.array([x, 0.0, 0.0], dtype=dtype),
+                normal=jnp.array([-1.0, 0.0, 0.0], dtype=dtype))
+
+
+def wall_gap(w: Wall, p):
+    """Signed distance of points p (..., 3) to the wall (>= 0 in free
+    space)."""
+    return jnp.sum((p - w.point) * w.normal, axis=-1)
+
+
 def flat(extent=4.0, cell=0.1, dtype=jnp.float32) -> Terrain:
     n = int(2 * extent / cell) + 1
     return Terrain(

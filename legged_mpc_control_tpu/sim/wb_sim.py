@@ -67,6 +67,7 @@ class WbSimState:
     q: Any
     v: Any
     anchor: Any      # (4,2) tangential friction anchors, world xy
+    wall_anchor: Any  # (4,3) stiction anchors on the wall plane, world
     f_contact: Any   # (4,3) last contact forces, world
     last_acc: Any    # (3,) last world base acceleration (IMU model)
 
@@ -101,6 +102,7 @@ def wb_sim_init(model: wb.WbModel, params: RobotParams, height=0.3,
     return WbSimState(
         q=q, v=jnp.zeros(18, dtype),
         anchor=feet[:, :2],
+        wall_anchor=feet,
         f_contact=jnp.zeros((4, 3), dtype),
         last_acc=jnp.zeros(3, dtype))
 
@@ -128,9 +130,35 @@ def _contact_forces(feet, vfeet, anchor, mu, terrain, dtype):
     return f, anchor
 
 
+def _wall_contact_forces(feet, vfeet, wall_anchor, mu, wall, dtype):
+    """Compliant wall reaction per foot — the same Hunt-Crossley + bristle
+    model as `_contact_forces`, rotated onto the wall plane: normal along
+    wall.normal, stiction spring in the plane (which is what lets a foot
+    pressed against a vertical wall carry VERTICAL weight through
+    friction — the wall-lean mechanism). Returns (f (4,3), wall_anchor')."""
+    n = wall.normal.astype(dtype)
+    d = -terrain_mod.wall_gap(wall, feet)            # penetration depth
+    in_contact = d > 0.0
+    vn = jnp.sum(vfeet * n, axis=-1)
+    fn = jnp.maximum(KP_N * d - KD_N * vn, 0.0)
+    fn = jnp.where(in_contact, fn, 0.0)
+
+    pt = feet - jnp.sum(feet * n, axis=-1, keepdims=True) * n
+    at = wall_anchor - jnp.sum(wall_anchor * n, axis=-1,
+                               keepdims=True) * n
+    vt = vfeet - vn[:, None] * n
+    fs = -KT * (pt - at) - KD_T * vt
+    cap = mu * fn
+    norm = jnp.sqrt(jnp.sum(fs * fs, axis=-1) + 1e-12)
+    ft = fs * jnp.minimum(1.0, cap / norm)[:, None]
+    a_contact = pt + (ft + KD_T * vt) / KT
+    wall_anchor = jnp.where(in_contact[:, None], a_contact, pt)
+    return ft + fn[:, None] * n, wall_anchor
+
+
 def wb_sim_step(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
                 params: RobotParams, dt, *, n_inner: int = 4,
-                terrain=None) -> WbSimState:
+                terrain=None, wall=None) -> WbSimState:
     """Advance the articulated world by `dt` under joint torques tau (12,).
 
     `n_inner` semi-implicit inner steps keep the stiff contact mode stable
@@ -142,7 +170,7 @@ def wb_sim_step(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
     mu = jnp.asarray(params.mu, dtype)
 
     def inner(carry, _):
-        q, v, anchor = carry
+        q, v, anchor, wall_anchor = carry
         M = wb.mass_matrix(q, model)
         M = M + jnp.diag(jnp.concatenate(
             [jnp.zeros(6, dtype), jnp.full((12,), ARMATURE, dtype)]))
@@ -152,17 +180,21 @@ def wb_sim_step(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
         vfeet = jnp.einsum("lij,j->li", J, v)
 
         f, anchor = _contact_forces(feet, vfeet, anchor, mu, terrain, dtype)
+        if wall is not None:
+            fw, wall_anchor = _wall_contact_forces(
+                feet, vfeet, wall_anchor, mu, wall, dtype)
+            f = f + fw
 
         gen = (-nle).at[6:].add(tau_c - JOINT_DAMPING * v[6:])
         gen = gen + jnp.einsum("lij,li->j", J, f)
         a = jnp.linalg.solve(M, gen)
         v = v + a * h
         q = q + v * h
-        return (q, v, anchor), (f, a[:3])
+        return (q, v, anchor, wall_anchor), (f, a[:3])
 
-    (q, v, anchor), (fs, accs) = jax.lax.scan(
-        inner, (s.q, s.v, s.anchor), None, length=n_inner)
-    return WbSimState(q=q, v=v, anchor=anchor,
+    (q, v, anchor, wall_anchor), (fs, accs) = jax.lax.scan(
+        inner, (s.q, s.v, s.anchor, s.wall_anchor), None, length=n_inner)
+    return WbSimState(q=q, v=v, anchor=anchor, wall_anchor=wall_anchor,
                       f_contact=fs[-1], last_acc=accs[-1])
 
 
