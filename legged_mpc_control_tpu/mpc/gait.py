@@ -22,7 +22,7 @@ from flax import struct
 
 from legged_mpc_control_tpu.ops.bezier import swing_foot_pos
 
-MAX_SEG = 4
+MAX_SEG = 12     # lindyhop's per-leg segmentation needs 9 (gait.info)
 SWING = 0
 STANCE = 1
 
@@ -85,27 +85,115 @@ def stand_pattern(dtype=jnp.float32) -> GaitPattern:
     return _pattern([[(STANCE, 1.0)]] * 4, dtype)
 
 
+# --- gait.info mode-sequence gaits -----------------------------------------
+# The reference's OCS2 gait library defines gaits as sequences of support
+# MODES with switching times (reference: config/gait.info). Mode names list
+# the stance legs in OCS2 order LF, RF, LH, RH = our FL, FR, RL, RR.
+_MODE_STANCE = {
+    "STANCE": (0, 1, 2, 3), "FLY": (),
+    "LF_RH": (0, 3), "RF_LH": (1, 2), "LF_LH": (0, 2), "RF_RH": (1, 3),
+    "LF_RF": (0, 1), "LH_RH": (2, 3),
+    "LF_RF_RH": (0, 1, 3), "RF_LH_RH": (1, 2, 3),
+    "LF_RF_LH": (0, 1, 2), "LF_LH_RH": (0, 2, 3),
+}
+
+
+def _pattern_from_modes(modes, times, dtype=jnp.float32):
+    """Convert a gait.info mode sequence into per-leg segment tables.
+
+    modes: list of M mode names (keys of _MODE_STANCE); times: M+1
+    switching times (gait.info `switchingTimes`). Times are normalized so
+    one cycle spans phase [0, 1); adjacent same-state segments merge."""
+    T = float(times[-1])
+    per_leg = []
+    for leg in range(4):
+        segs = []
+        for m, mode in enumerate(modes):
+            st = STANCE if leg in _MODE_STANCE[mode] else SWING
+            end = float(times[m + 1]) / T
+            if segs and segs[-1][0] == st:
+                segs[-1] = (st, end)
+            else:
+                segs.append((st, end))
+        assert len(segs) <= MAX_SEG, (len(segs), leg)
+        per_leg.append(segs)
+    return _pattern(per_leg, dtype)
+
+
 def flying_trot_pattern(dtype=jnp.float32) -> GaitPattern:
-    """Diagonal pairs with full-flight phases between them (named mode in
-    the reference's OCS2 gait library, config/gait.info)."""
-    diag_a = [(STANCE, 0.4), (SWING, 1.0)]
-    diag_b = [(SWING, 0.6), (STANCE, 1.0)]
-    return _pattern([diag_a, diag_b, diag_b, diag_a], dtype)
+    """Diagonal pairs separated by full-flight phases — gait.info
+    `flying_trot` mode sequence (reference: config/gait.info)."""
+    return _pattern_from_modes(
+        ["LF_RH", "FLY", "RF_LH", "FLY"], [0.0, 0.15, 0.2, 0.35, 0.4],
+        dtype)
+
+
+def standing_trot_gaitinfo_pattern(dtype=jnp.float32) -> GaitPattern:
+    """gait.info `standing_trot`: diagonal pairs with all-stance dwells
+    (reference: config/gait.info standing_trot)."""
+    return _pattern_from_modes(
+        ["LF_RH", "STANCE", "RF_LH", "STANCE"],
+        [0.0, 0.25, 0.3, 0.55, 0.6], dtype)
 
 
 def pace_pattern(dtype=jnp.float32) -> GaitPattern:
-    """Lateral pairs alternate (gait.info `pace`): left legs FL,RL stance
-    first, right legs FR,RR swing first."""
-    left = [(STANCE, 0.5), (SWING, 1.0)]
-    right = [(SWING, 0.5), (STANCE, 1.0)]
-    return _pattern([left, right, left, right], dtype)
+    """Lateral pairs with flight phases — gait.info `pace` mode sequence
+    (left legs FL,RL stance first)."""
+    return _pattern_from_modes(
+        ["LF_LH", "FLY", "RF_RH", "FLY"], [0.0, 0.28, 0.30, 0.58, 0.60],
+        dtype)
 
 
 def standing_pace_pattern(dtype=jnp.float32) -> GaitPattern:
-    """Pace with an all-stance dwell (gait.info `standing_pace`)."""
-    left = [(STANCE, 0.6), (SWING, 1.0)]
-    right = [(STANCE, 0.1), (SWING, 0.5), (STANCE, 1.0)]
-    return _pattern([left, right, left, right], dtype)
+    """Pace with all-stance dwells — gait.info `standing_pace`."""
+    return _pattern_from_modes(
+        ["LF_LH", "STANCE", "RF_RH", "STANCE"],
+        [0.0, 0.30, 0.35, 0.65, 0.70], dtype)
+
+
+def dynamic_walk_pattern(dtype=jnp.float32) -> GaitPattern:
+    """gait.info `dynamic_walk`: 4-beat walk with 2-foot support phases
+    (reference: config/gait.info dynamic_walk)."""
+    return _pattern_from_modes(
+        ["LF_RF_RH", "RF_RH", "RF_LH_RH", "LF_RF_LH", "LF_LH", "LF_LH_RH"],
+        [0.0, 0.2, 0.3, 0.5, 0.7, 0.8, 1.0], dtype)
+
+
+def static_walk_pattern(dtype=jnp.float32) -> GaitPattern:
+    """gait.info `static_walk`: always-3-foot-support crawl (distinct from
+    the FSM's own `crawl`, LeggedContactFSM.cpp:158-199)."""
+    return _pattern_from_modes(
+        ["LF_RF_RH", "RF_LH_RH", "LF_RF_LH", "LF_LH_RH"],
+        [0.0, 0.3, 0.6, 0.9, 1.2], dtype)
+
+
+def amble_pattern(dtype=jnp.float32) -> GaitPattern:
+    """gait.info `amble`: lateral-sequence 2-foot walk."""
+    return _pattern_from_modes(
+        ["RF_LH", "LF_LH", "LF_RH", "RF_RH"],
+        [0.0, 0.15, 0.40, 0.55, 0.80], dtype)
+
+
+def lindyhop_pattern(dtype=jnp.float32) -> GaitPattern:
+    """gait.info `lindyhop`: the dance sequence (triple steps + dwells)."""
+    return _pattern_from_modes(
+        ["LF_RH", "STANCE", "RF_LH", "STANCE", "LF_LH", "RF_RH", "LF_LH",
+         "STANCE", "RF_RH", "LF_LH", "RF_RH", "STANCE"],
+        [0.00, 0.35, 0.45, 0.80, 0.90, 1.125, 1.35, 1.70, 1.80, 2.025,
+         2.25, 2.60, 2.70], dtype)
+
+
+def skipping_pattern(dtype=jnp.float32) -> GaitPattern:
+    """gait.info `skipping`: repeated one-diagonal hops, then the other."""
+    return _pattern_from_modes(
+        ["LF_RH", "FLY"] * 4 + ["RF_LH", "FLY"] * 4,
+        [0.00, 0.21, 0.30, 0.51, 0.60, 0.81, 0.90, 1.11, 1.20, 1.41,
+         1.50, 1.71, 1.80, 2.01, 2.10, 2.31, 2.40], dtype)
+
+
+def pawup_pattern(dtype=jnp.float32) -> GaitPattern:
+    """gait.info `pawup`: hold three feet down, FL raised."""
+    return _pattern_from_modes(["RF_LH_RH"], [0.0, 2.0], dtype)
 
 
 def bound_pattern(dtype=jnp.float32) -> GaitPattern:
@@ -122,21 +210,28 @@ def pronk_pattern(dtype=jnp.float32) -> GaitPattern:
 
 
 # Named gait registry — the analogue of the reference's gait library
-# (reference: config/gait.info:1-14 lists stance, trot, standing_trot,
-# flying_trot, pace, standing_pace, static_walk, dynamic_walk, ...).
-# `crawl` is the FSM's own 4-beat walk (LeggedContactFSM.cpp:158-199).
+# (reference: config/gait.info:1-14: stance, trot, standing_trot,
+# flying_trot, pace, standing_pace, dynamic_walk, static_walk, amble,
+# lindyhop, skipping, pawup). gait.info-listed names map to
+# mode-sequence-faithful tables built by `_pattern_from_modes`; the
+# FSM-native gaits (LeggedContactFSM.cpp) keep their own names: `crawl`
+# (:158-199) and `trot_with_stand` (:116-157). `bound`/`pronk` are extras.
 NAMED_PATTERNS = {
     "stance": stand_pattern,
     "stand": stand_pattern,
     "trot": trot_pattern,
-    "standing_trot": trot_with_stand_pattern,
+    "standing_trot": standing_trot_gaitinfo_pattern,
     "trot_with_stand": trot_with_stand_pattern,
     "flying_trot": flying_trot_pattern,
     "pace": pace_pattern,
     "standing_pace": standing_pace_pattern,
     "crawl": crawl_pattern,
-    "static_walk": crawl_pattern,
-    "dynamic_walk": crawl_pattern,
+    "static_walk": static_walk_pattern,
+    "dynamic_walk": dynamic_walk_pattern,
+    "amble": amble_pattern,
+    "lindyhop": lindyhop_pattern,
+    "skipping": skipping_pattern,
+    "pawup": pawup_pattern,
     "bound": bound_pattern,
     "pronk": pronk_pattern,
 }

@@ -1,0 +1,528 @@
+"""Fully-fused Pallas TPU kernel: the ENTIRE 8x substep chain of the
+closed-loop tick in one launch.
+
+The reference runs low-level control + feedback at 800 Hz against the
+simulator between 100 Hz MPC updates (reference: main.cpp:170-250,
+LeggedParams.h:7-9); the batched closed loop replays that as 8 substeps of
+(low-level torque -> SRB sim step -> sensor products) per MPC tick
+(control/step.py:closed_loop_tick_batched). Under XLA those substeps are
+chains of per-leg 3-vector math on (B, 4, 3) tensors — the minor dimension
+is 3, so the VPU runs at 3/128 lane utilization and every op round-trips
+HBM. This kernel holds one 128-lane scenario tile's whole world in
+VMEM/registers with the BATCH on the lane axis and every 3x3 contraction
+unrolled to scalar lane ops (the batch-in-lanes playbook of
+ops/riccati_pallas.py and ops/chol_pallas.py), executing all 8 substeps in
+a single pallas_call.
+
+Scope: the product batched path — kf_type=0 (ground-truth feedback),
+low_level_type=0 (J^T tau control), flat ground (terrain=None). Anything
+else falls back to the XLA substep scan. The per-substep feedback products
+(rotations, FK, Jacobians) are computed in-kernel exactly as
+control/sensors.py derives them; the tick-opening feedback_update outside
+rebuilds the full Feedback pytree from the returned sim state, so
+downstream consumers (gait FSM, QP build, estimators) see identical
+values.
+
+Implements, per substep (citations to the XLA modules it mirrors):
+  1. low-level: tau = -J^T R^T F + PD(IK(targets))   control/low_level.py
+     (reference: BaseInterface.cpp:451-500, GazeboInterface.cpp:99-118)
+  2. safety envelope gate                            control/safety.py
+     (reference: LeggedSafetyChecker.hpp:17-32)
+  3. SRB world step: realized GRFs, contact make/break, trunk dynamics,
+     anchored stance closure, swing joint dynamics    sim/srb_sim.py
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from legged_mpc_control_tpu.constants import GRAVITY_EST
+from legged_mpc_control_tpu.control.safety import (
+    JOINT_VEL_LIMIT,
+    PITCH_LIMIT,
+    ROLL_LIMIT,
+)
+from legged_mpc_control_tpu.sim.srb_sim import (
+    CONTACT_RELEASE_FZ,
+    LEG_DAMPING,
+    LEG_INERTIA,
+)
+
+LANES = 128
+
+_PI = 3.14159265358979323846
+_PI_2 = _PI / 2
+_PI_4 = _PI / 4
+_TAN_PI_8 = 0.4142135623730950
+_TAN_3PI_8 = 2.4142135623730951
+
+
+def _atan(x):
+    """f32 arctan via Cephes-style 3-range reduction + odd minimax poly
+    (Mosaic TC has no atan/atan2 lowering; this is ~1 ulp for f32)."""
+    sign = jnp.where(x < 0, -1.0, 1.0)
+    ax = jnp.abs(x)
+    r2 = ax > _TAN_3PI_8
+    r1 = (ax > _TAN_PI_8) & (~r2)
+    ax_safe = jnp.maximum(ax, 1e-30)
+    xp = jnp.where(r2, -1.0 / ax_safe,
+                   jnp.where(r1, (ax - 1.0) / (ax + 1.0), ax))
+    y0 = jnp.where(r2, _PI_2, jnp.where(r1, _PI_4, 0.0))
+    z = xp * xp
+    poly = ((((8.05374449538e-2 * z - 1.38776856032e-1) * z
+              + 1.99777106478e-1) * z - 3.33329491539e-1) * z * xp + xp)
+    return sign * (y0 + poly)
+
+
+def _atan2(y, x):
+    """Quadrant-correct atan2 built on `_atan`. atan2(0, 0) = 0."""
+    eps = 1e-30
+    x_safe = jnp.where(jnp.abs(x) < eps,
+                       jnp.where(x < 0, -eps, eps), x)
+    base = _atan(y / x_safe)
+    add = jnp.where(x < 0, jnp.where(y < 0, -_PI, _PI), 0.0)
+    return base + add
+
+
+# --- component-level math on (L,) lane vectors -----------------------------
+
+def _rotmat(qw, qx, qy, qz):
+    """Quaternion -> row-major 3x3 list-of-lists (ops/so3.quat_to_rotmat)."""
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    return [[1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+            [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+            [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)]]
+
+
+def _mv(R, v):
+    """R @ v for 3x3 list-of-lists and 3-list."""
+    return [R[0][0] * v[0] + R[0][1] * v[1] + R[0][2] * v[2],
+            R[1][0] * v[0] + R[1][1] * v[1] + R[1][2] * v[2],
+            R[2][0] * v[0] + R[2][1] * v[1] + R[2][2] * v[2]]
+
+
+def _mtv(R, v):
+    """R^T @ v."""
+    return [R[0][0] * v[0] + R[1][0] * v[1] + R[2][0] * v[2],
+            R[0][1] * v[0] + R[1][1] * v[1] + R[2][1] * v[2],
+            R[0][2] * v[0] + R[1][2] * v[1] + R[2][2] * v[2]]
+
+
+def _cross(a, b):
+    return [a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0]]
+
+
+def _adj_det(J):
+    """Adjugate + determinant of a 3x3 list-of-lists (ops/la3.py)."""
+    c00 = J[1][1] * J[2][2] - J[1][2] * J[2][1]
+    c01 = J[0][2] * J[2][1] - J[0][1] * J[2][2]
+    c02 = J[0][1] * J[1][2] - J[0][2] * J[1][1]
+    c10 = J[1][2] * J[2][0] - J[1][0] * J[2][2]
+    c11 = J[0][0] * J[2][2] - J[0][2] * J[2][0]
+    c12 = J[0][2] * J[1][0] - J[0][0] * J[1][2]
+    c20 = J[1][0] * J[2][1] - J[1][1] * J[2][0]
+    c21 = J[0][1] * J[2][0] - J[0][0] * J[2][1]
+    c22 = J[0][0] * J[1][1] - J[0][1] * J[1][0]
+    det = J[0][0] * c00 + J[0][1] * c10 + J[0][2] * c20
+    return [[c00, c01, c02], [c10, c11, c12], [c20, c21, c22]], det
+
+
+def _solve3(J, b):
+    """J x = b (Cramer via adjugate, ops/la3.solve3)."""
+    adj, det = _adj_det(J)
+    inv = 1.0 / det
+    return [(adj[i][0] * b[0] + adj[i][1] * b[1] + adj[i][2] * b[2]) * inv
+            for i in range(3)]
+
+
+def _solve3_t(J, b):
+    """J^T x = b (ops/la3.solve3_t)."""
+    adj, det = _adj_det(J)
+    inv = 1.0 / det
+    return [(adj[0][i] * b[0] + adj[1][i] * b[1] + adj[2][i] * b[2]) * inv
+            for i in range(3)]
+
+
+def _fk_leg(q1, q2, q3, ox, oy, d, lt, lc):
+    """models/kinematics.fk, component form."""
+    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+    s2, c2 = jnp.sin(q2), jnp.cos(q2)
+    s23, c23 = jnp.sin(q2 + q3), jnp.cos(q2 + q3)
+    L = lt * c2 + lc * c23
+    return [ox - lt * s2 - lc * s23,
+            oy + d * c1 + s1 * L,
+            d * s1 - c1 * L]
+
+
+def _jac_leg(q1, q2, q3, d, lt, lc):
+    """models/kinematics.jac, row-major list-of-lists."""
+    s1, c1 = jnp.sin(q1), jnp.cos(q1)
+    s2, c2 = jnp.sin(q2), jnp.cos(q2)
+    s23, c23 = jnp.sin(q2 + q3), jnp.cos(q2 + q3)
+    L = lt * c2 + lc * c23
+    M = lt * s2 + lc * s23
+    zero = jnp.zeros_like(q1)
+    return [[zero, -L, -lc * c23],
+            [-d * s1 + c1 * L, -s1 * M, -s1 * lc * s23],
+            [d * c1 + s1 * L, c1 * M, c1 * lc * s23]]
+
+
+def _wrap(a):
+    """Wrap angle to (-pi, pi] via atan2(sin, cos)."""
+    return _atan2(jnp.sin(a), jnp.cos(a))
+
+
+def _ik_leg(px0, py0, pz, qr1, qr2, qr3, ox, oy, d, lt, lc):
+    """models/kinematics.ik — analytic 4-branch IK nearest (qr1,qr2,qr3).
+
+    arccos expressed as atan2(sqrt(1-c^2), c) (Mosaic-lowerable)."""
+    px = px0 - ox
+    py = py0 - oy
+    L2 = py * py + pz * pz - d * d
+    L = jnp.sqrt(jnp.maximum(L2, 1e-12))
+    c3 = (px * px + L * L - lt * lt - lc * lc) / (2.0 * lt * lc)
+    c3 = jnp.clip(c3, -1.0, 1.0)
+    q3_mag = _atan2(jnp.sqrt(jnp.maximum(1.0 - c3 * c3, 0.0)), c3)
+
+    best = None
+    best_d = None
+    for Ls_sign in (1.0, -1.0):
+        Ls = Ls_sign * L
+        for q3_sign in (-1.0, 1.0):
+            q3 = q3_sign * q3_mag
+            q1 = _wrap(_atan2(pz, py) - _atan2(-Ls, d))
+            q2 = _wrap(_atan2(-px, Ls)
+                       - _atan2(lc * jnp.sin(q3), lt + lc * jnp.cos(q3)))
+            d1 = _wrap(q1 - qr1)
+            d2 = _wrap(q2 - qr2)
+            d3 = _wrap(q3 - qr3)
+            dist = d1 * d1 + d2 * d2 + d3 * d3
+            if best is None:
+                best, best_d = [q1, q2, q3], dist
+            else:
+                take = dist < best_d
+                best = [jnp.where(take, q1, best[0]),
+                        jnp.where(take, q2, best[1]),
+                        jnp.where(take, q3, best[2])]
+                best_d = jnp.where(take, dist, best_d)
+    return best
+
+
+def _make_kernel(substeps, dt, dtype):
+    g = GRAVITY_EST
+
+    def kernel(pos_ref, quat_ref, vel_ref, omega_ref, q_ref, dq_ref,
+               contact_ref, anchor_ref, ostate_ref, oinput_ref, mode_ref,
+               mass_ref, mu_ref, kp_ref, kd_ref, inertia_ref, rho_ref,
+               pos_o, quat_o, vel_o, omega_o, q_o, dq_o, contact_o,
+               anchor_o, lastacc_o, qt_o, dqt_o, taut_o):
+        # keep the captured mode as f32 — an i1 lane vector crossing the
+        # fori_loop region boundary fails Mosaic legalization (same issue
+        # as riccati_pallas.py's f32 `done` carry)
+        walking_f = mode_ref[0]
+        mass = mass_ref[0]
+        mu = mu_ref[0]
+        kp = [kp_ref[i] for i in range(3)]
+        kd = [kd_ref[i] for i in range(3)]
+        Ib = [[inertia_ref[i, j] for j in range(3)] for i in range(3)]
+        rho = [[rho_ref[l, k] for k in range(5)] for l in range(4)]
+        grf_w = [[oinput_ref[3 * l + i] for i in range(3)] for l in range(4)]
+        ft_w = [[ostate_ref[6 + 3 * l + i] for i in range(3)]
+                for l in range(4)]
+        ftv_w = [[oinput_ref[12 + 3 * l + i] for i in range(3)]
+                 for l in range(4)]
+
+        def substep(carry):
+            (pos, quat, vel, omega, q, dq, contact, anchor) = carry
+            walking = walking_f > 0.5
+            qw, qx, qy, qz = quat
+            R = _rotmat(qw, qx, qy, qz)
+
+            # === low-level (control/low_level.tau_ctrl_update) ===
+            # jacobians at the current joint state (what fbk.jac_foot holds
+            # after the previous substep's sensor_update)
+            jacs = [_jac_leg(q[l][0], q[l][1], q[l][2],
+                             rho[l][2], rho[l][3], rho[l][4])
+                    for l in range(4)]
+            tau = []
+            qt_all, dqt_all, tff_all = [], [], []
+            for l in range(4):
+                f_rel = _mtv(R, grf_w[l])
+                J = jacs[l]
+                tau_ff = [-(J[0][i] * f_rel[0] + J[1][i] * f_rel[1]
+                            + J[2][i] * f_rel[2]) for i in range(3)]
+                ftr = _mtv(R, [ft_w[l][i] - pos[i] for i in range(3)])
+                ftvr = _mtv(R, [ftv_w[l][i] - vel[i] for i in range(3)])
+                q_ik = _ik_leg(ftr[0], ftr[1], ftr[2],
+                               q[l][0], q[l][1], q[l][2],
+                               rho[l][0], rho[l][1], rho[l][2],
+                               rho[l][3], rho[l][4])
+                dq_ik = _solve3(J, ftvr)
+                q_t = [jnp.where(walking, q_ik[i], q[l][i])
+                       for i in range(3)]
+                dq_t = [jnp.where(walking, dq_ik[i], dq[l][i])
+                        for i in range(3)]
+                tau_l = [kp[i] * (q_t[i] - q[l][i])
+                         + kd[i] * (dq_t[i] - dq[l][i]) + tau_ff[i]
+                         for i in range(3)]
+                tau.append(tau_l)
+                qt_all.append(q_t)
+                dqt_all.append(dq_t)
+                tff_all.append(tau_ff)
+
+            # safety gate (control/safety.is_safe)
+            t0 = 2.0 * (qw * qx + qy * qz)
+            t1 = 1.0 - 2.0 * (qx * qx + qy * qy)
+            roll = _atan2(t0, t1)
+            t2 = jnp.clip(2.0 * (qw * qy - qz * qx), -1.0, 1.0)
+            pitch = _atan2(t2, jnp.sqrt(jnp.maximum(1 - t2 * t2, 0.0)))
+            dq_max = dq[0][0]
+            for l in range(4):
+                for i in range(3):
+                    dq_max = jnp.maximum(dq_max, dq[l][i])
+            safe = ((jnp.abs(roll) <= ROLL_LIMIT)
+                    & (jnp.abs(pitch) <= PITCH_LIMIT)
+                    & (dq_max <= JOINT_VEL_LIMIT))
+            tau = [[jnp.where(safe, tau[l][i], 0.0) for i in range(3)]
+                   for l in range(4)]
+
+            # === SRB sim step (sim/srb_sim.sim_step, flat ground) ===
+            grf_sum = [jnp.zeros_like(pos[0]) for _ in range(3)]
+            torque = [jnp.zeros_like(pos[0]) for _ in range(3)]
+            new_contact = []
+            new_anchor = []
+            grfs = []
+            for l in range(4):
+                foot_rel = _fk_leg(q[l][0], q[l][1], q[l][2], *rho[l])
+                fw = _mv(R, foot_rel)
+                foot_w = [fw[i] + pos[i] for i in range(3)]
+                f_rel = _solve3_t(jacs[l], [-tau[l][i] for i in range(3)])
+                f_w = _mv(R, f_rel)
+                fz = jnp.maximum(f_w[2], 0.0)
+                cap = mu * fz
+                fx = jnp.clip(f_w[0], -cap, cap)
+                fy = jnp.clip(f_w[1], -cap, cap)
+                # contact logic in f32 masks: a select on i1 lane vectors
+                # fails Mosaic legalization ("unsupported target bitwidth
+                # for truncation")
+                touching_f = ((foot_w[2] <= 0.0)
+                              & (foot_w[2] >= -0.02)).astype(dtype)
+                hold_f = (fz > CONTACT_RELEASE_FZ).astype(dtype)
+                ncf0 = jnp.where(contact[l] > 0.5, hold_f, touching_f)
+                nc = ncf0 > 0.5
+                fresh = (contact[l] < 0.5) & nc
+                anc = [jnp.where(fresh, foot_w[0], anchor[l][0]),
+                       jnp.where(fresh, foot_w[1], anchor[l][1]),
+                       jnp.where(fresh, 0.0, anchor[l][2])]
+                ncf = nc.astype(dtype)
+                grf = [fx * ncf, fy * ncf, fz * ncf]
+                r = [anc[i] - pos[i] for i in range(3)]
+                tq = _cross(r, grf)
+                for i in range(3):
+                    grf_sum[i] = grf_sum[i] + grf[i]
+                    torque[i] = torque[i] + tq[i]
+                new_contact.append(ncf)
+                new_anchor.append(anc)
+                grfs.append(grf)
+
+            inv_m = 1.0 / mass
+            acc = [grf_sum[0] * inv_m, grf_sum[1] * inv_m,
+                   grf_sum[2] * inv_m - g]
+            # I_world = R Ib R^T
+            RI = [[sum(R[i][k] * Ib[k][j] for k in range(3))
+                   for j in range(3)] for i in range(3)]
+            Iw = [[sum(RI[i][k] * R[j][k] for k in range(3))
+                   for j in range(3)] for i in range(3)]
+            Iw_om = _mv(Iw, omega)
+            gyro = _cross(omega, Iw_om)
+            omega_dot = _solve3(Iw, [torque[i] - gyro[i] for i in range(3)])
+
+            vel2 = [vel[i] + acc[i] * dt for i in range(3)]
+            pos2 = [pos[i] + vel2[i] * dt for i in range(3)]
+            omega2 = [omega[i] + omega_dot[i] * dt for i in range(3)]
+
+            # quaternion exp-map integration (ops/so3.quat_integrate)
+            ang = jnp.sqrt(omega2[0] ** 2 + omega2[1] ** 2 + omega2[2] ** 2)
+            half = 0.5 * ang * dt
+            small = ang < 1e-8
+            scale = jnp.where(small, 0.5 * dt,
+                              jnp.sin(half) / jnp.where(small, 1.0, ang))
+            dw = jnp.cos(half)
+            dx, dy, dz = (omega2[i] * scale for i in range(3))
+            nqw = dw * qw - dx * qx - dy * qy - dz * qz
+            nqx = dw * qx + dx * qw + dy * qz - dz * qy
+            nqy = dw * qy - dx * qz + dy * qw + dz * qx
+            nqz = dw * qz + dx * qy - dy * qx + dz * qw
+            qn = jnp.sqrt(nqw * nqw + nqx * nqx + nqy * nqy + nqz * nqz)
+            quat2 = (nqw / qn, nqx / qn, nqy / qn, nqz / qn)
+            R2 = _rotmat(*quat2)
+
+            q_new, dq_new = [], []
+            for l in range(4):
+                ddq = [(tau[l][i] - LEG_DAMPING * dq[l][i]) / LEG_INERTIA
+                       for i in range(3)]
+                dq_sw = [dq[l][i] + ddq[i] * dt for i in range(3)]
+                q_sw = [q[l][i] + dq_sw[i] * dt for i in range(3)]
+                rr = [new_anchor[l][i] - pos2[i] for i in range(3)]
+                anchor_rel = _mtv(R2, rr)
+                q_st = _ik_leg(anchor_rel[0], anchor_rel[1], anchor_rel[2],
+                               q[l][0], q[l][1], q[l][2],
+                               rho[l][0], rho[l][1], rho[l][2],
+                               rho[l][3], rho[l][4])
+                oxr = _cross(omega2, rr)
+                closure = _mtv(R2, [-vel2[i] - oxr[i] for i in range(3)])
+                J2 = _jac_leg(q_st[0], q_st[1], q_st[2],
+                              rho[l][2], rho[l][3], rho[l][4])
+                dq_st = _solve3(J2, closure)
+                on = new_contact[l] > 0.5
+                q_new.append([jnp.where(on, q_st[i], q_sw[i])
+                              for i in range(3)])
+                dq_new.append([jnp.where(on, dq_st[i], dq_sw[i])
+                               for i in range(3)])
+
+            out = (pos2, list(quat2), vel2, omega2, q_new, dq_new,
+                   new_contact, new_anchor)
+            return out, acc, qt_all, dqt_all, tff_all
+
+        # initial state from refs
+        pos = [pos_ref[i] for i in range(3)]
+        quat = [quat_ref[i] for i in range(4)]
+        vel = [vel_ref[i] for i in range(3)]
+        omega = [omega_ref[i] for i in range(3)]
+        q = [[q_ref[3 * l + i] for i in range(3)] for l in range(4)]
+        dq = [[dq_ref[3 * l + i] for i in range(3)] for l in range(4)]
+        contact = [contact_ref[l] for l in range(4)]
+        anchor = [[anchor_ref[l, i] for i in range(3)] for l in range(4)]
+
+        # fori_loop (not Python unroll): one substep body to Mosaic-compile
+        # instead of 8 — the unrolled form blows the kernel past practical
+        # compile time. Carry is a pytree of (L,) lane vectors; the
+        # last-substep outputs (acc, joint targets) ride in the carry.
+        def to_tuple(x):
+            return tuple(to_tuple(e) for e in x) if isinstance(
+                x, (list, tuple)) else x
+
+        zero3 = [jnp.zeros_like(pos[0]) for _ in range(3)]
+        zero43 = [[jnp.zeros_like(pos[0]) for _ in range(3)]
+                  for _ in range(4)]
+
+        def loop_body(_k, state):
+            carry, _acc, _qt, _dqt, _tff = state
+            carry, acc, qt, dqt, tff = substep(carry)
+            return (to_tuple(carry), to_tuple(acc), to_tuple(qt),
+                    to_tuple(dqt), to_tuple(tff))
+
+        init = (to_tuple((pos, quat, vel, omega, q, dq, contact, anchor)),
+                to_tuple(zero3), to_tuple(zero43), to_tuple(zero43),
+                to_tuple(zero43))
+        carry, acc, qt, dqt, tff = jax.lax.fori_loop(
+            0, substeps, loop_body, init)
+
+        (pos, quat, vel, omega, q, dq, contact, anchor) = carry
+        for i in range(3):
+            pos_o[i] = pos[i]
+            vel_o[i] = vel[i]
+            omega_o[i] = omega[i]
+            lastacc_o[i] = acc[i]
+        for i in range(4):
+            quat_o[i] = quat[i]
+            contact_o[i] = contact[i]
+        for l in range(4):
+            for i in range(3):
+                q_o[3 * l + i] = q[l][i]
+                dq_o[3 * l + i] = dq[l][i]
+                anchor_o[l, i] = anchor[l][i]
+                qt_o[3 * l + i] = qt[l][i]
+                dqt_o[3 * l + i] = dqt[l][i]
+                taut_o[3 * l + i] = tff[l][i]
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("substeps", "dt", "interpret"))
+def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
+                        sim_dq, sim_contact, sim_anchor, opt_state,
+                        opt_input, movement_mode, mass, mu, kp_foot,
+                        kd_foot, trunk_inertia, rho_fix, *, substeps,
+                        dt, interpret=False):
+    """Run the whole substep chain for a scenario batch in one launch.
+
+    All array args carry a leading batch axis (broadcast_params form).
+    Returns a dict of the new sim fields plus the last commanded joint
+    targets (q_tgt, dq_tgt, tau_ff) — everything the tick-opening
+    feedback_update needs to rebuild Feedback exactly.
+    """
+    B = sim_pos.shape[0]
+    dtype = sim_pos.dtype
+    pad = (-B) % LANES
+    Bp = B + pad
+
+    def lanes(x):
+        x = jnp.asarray(x, dtype)
+        perm = tuple(range(1, x.ndim)) + (0,)
+        xt = jnp.transpose(x, perm)
+        if pad:
+            # edge-replicate so padded lanes run a valid scenario copy
+            xt = jnp.concatenate(
+                [xt, jnp.repeat(xt[..., -1:], pad, axis=-1)], axis=-1)
+        return xt
+
+    ins = [
+        lanes(sim_pos),                       # (3,Bp)
+        lanes(sim_quat),                      # (4,Bp)
+        lanes(sim_vel),                       # (3,Bp)
+        lanes(sim_omega),                     # (3,Bp)
+        lanes(sim_q),                         # (12,Bp)
+        lanes(sim_dq),                        # (12,Bp)
+        lanes(sim_contact.astype(dtype)),     # (4,Bp)
+        lanes(sim_anchor),                    # (4,3,Bp)
+        lanes(opt_state),                     # (18,Bp)
+        lanes(opt_input),                     # (24,Bp)
+        lanes(movement_mode.astype(dtype)[:, None]),  # (1,Bp)
+        lanes(jnp.asarray(mass, dtype)[:, None]),     # (1,Bp)
+        lanes(jnp.asarray(mu, dtype)[:, None]),       # (1,Bp)
+        lanes(kp_foot),                       # (3,Bp)
+        lanes(kd_foot),                       # (3,Bp)
+        lanes(trunk_inertia),                 # (3,3,Bp)
+        lanes(rho_fix),                       # (4,5,Bp)
+    ]
+
+    kernel = _make_kernel(substeps, float(dt), dtype)
+    grid = (Bp // LANES,)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape[:-1] + (LANES,),
+                            lambda b, _nd=nd: (0,) * (_nd - 1) + (b,),
+                            memory_space=pltpu.VMEM)
+
+    out_shapes = [(3, Bp), (4, Bp), (3, Bp), (3, Bp), (12, Bp), (12, Bp),
+                  (4, Bp), (4, 3, Bp), (3, Bp), (12, Bp), (12, Bp),
+                  (12, Bp)]
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct(s, dtype) for s in out_shapes],
+        grid=grid,
+        in_specs=[spec(x.shape[:-1] + (Bp,)) for x in ins],
+        out_specs=[spec(s) for s in out_shapes],
+        interpret=interpret,
+    )(*ins)
+
+    def unlanes(x):
+        x = x[..., :B]
+        perm = (x.ndim - 1,) + tuple(range(x.ndim - 1))
+        return jnp.transpose(x, perm)
+
+    (pos, quat, vel, omega, q, dq, contact, anchor, last_acc, qt, dqt,
+     taut) = [unlanes(o) for o in outs]
+    return dict(pos=pos, quat=quat, vel=vel, omega=omega, q=q, dq=dq,
+                contact=contact > 0.5, anchor=anchor, last_acc=last_acc,
+                q_tgt=qt, dq_tgt=dqt, tau_ff=taut)

@@ -48,7 +48,8 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
                          n_ticks=100, substeps=C.SUBSTEPS_PER_MPC_TICK,
                          pdip_iters=12, use_ground_truth=True, kf_type=None,
                          walk_velx=0.0, solver="riccati", backend=None,
-                         low_level_type=0):
+                         low_level_type=0, stand_ticks=0,
+                         fused_substeps=True):
     """Returns rollout(loop_batch, params_batched) -> (final, diag).
 
     The scenario batch flows through `closed_loop_tick_batched`, so every
@@ -62,6 +63,13 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
         rollout state, mirroring the reference's `setWarmStart(true)`
         (reference: ConvexQPSolver.cpp:185).
       pdip_iters: iteration count for either solver.
+      stand_ticks: with a nonzero `walk_velx`, the batch STANDS for this
+        many ticks and then switches movement_mode to walk — the
+        stand->walk sequence every closed-loop test drives (the reference
+        operator does the same through the joystick FSM,
+        BaseInterface.cpp:165-209). 0 = walk from tick 0.
+      fused_substeps: allow the single-launch Pallas substep kernel on the
+        TPU fast path (ops/substep_pallas.py).
 
     diag: per-tick (pos (T,B,3), vel (T,B,3)) trajectories.
     """
@@ -80,34 +88,108 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
                  if solver == "admm"
                  else jnp.zeros((batch, horizon * 12), dtype))
 
-        def body(carry, _):
+        def body(carry, k):
             loop, warm = carry
             cs = loop.controller
-            cs = cs.replace(joy=cs.joy.replace(
-                velx=jnp.full((batch,), walk_velx, dtype)))
+            walking = jnp.logical_and(walk_velx != 0.0, k >= stand_ticks)
+            mode = jnp.where(walking, 1, 0).astype(jnp.int32)
+            cs = cs.replace(
+                ctrl=cs.ctrl.replace(movement_mode=jnp.broadcast_to(
+                    mode, cs.ctrl.movement_mode.shape)),
+                joy=cs.joy.replace(
+                    velx=jnp.full((batch,), walk_velx, dtype)))
             loop = loop.replace(controller=cs)
             loop, warm = step_mod.closed_loop_tick_batched(
                 loop, params_b, pattern, horizon=horizon, substeps=substeps,
                 kf_type=kf_type, iters=pdip_iters, solver=solver,
-                backend=backend, low_level_type=low_level_type, warm=warm)
+                backend=backend, low_level_type=low_level_type, warm=warm,
+                fused_substeps=fused_substeps)
             return (loop, warm), (loop.sim.pos, loop.sim.vel)
 
-        (final, _), diag = jax.lax.scan(body, (loop, warm0), None,
-                                        length=n_ticks)
+        (final, _), diag = jax.lax.scan(body, (loop, warm0),
+                                        jnp.arange(n_ticks))
         return final, diag
 
     return rollout
 
 
-def init_loop_batch(params: RobotParams, batch: int, key,
-                    height_range=(0.27, 0.32), dtype=jnp.float32):
-    """Batch of randomized initial loop states."""
+def make_batched_rollout_wb(pattern: gait_mod.GaitPattern, model, *,
+                            horizon=10, n_ticks=100,
+                            substeps=C.SUBSTEPS_PER_MPC_TICK,
+                            pdip_iters=12, kf_type=0, walk_velx=0.0,
+                            solver="riccati", backend=None,
+                            low_level_type=0, n_inner=4, stand_ticks=20,
+                            terrain=None):
+    """Batched rollout against the ARTICULATED simulator (the
+    Gazebo-fidelity twin as a sweep backend — reference:
+    GazeboInterface.cpp:99-118 + the Gazebo physics engine). Same
+    contract as `make_batched_rollout`; `loop.sim` must be a batched
+    wb_sim.WbSimState (see `init_wb_loop_batch`)."""
+
+    def rollout(loop, params):
+        batch = loop.sim.q.shape[0]
+        dtype = loop.sim.q.dtype
+        params_b = step_mod.broadcast_params(params, batch)
+        warm0 = (step_mod.admm_warm_init(batch, horizon, dtype)
+                 if solver == "admm"
+                 else jnp.zeros((batch, horizon * 12), dtype))
+
+        def body(carry, k):
+            loop, warm = carry
+            cs = loop.controller
+            walking = jnp.logical_and(walk_velx != 0.0, k >= stand_ticks)
+            mode = jnp.where(walking, 1, 0).astype(jnp.int32)
+            cs = cs.replace(
+                ctrl=cs.ctrl.replace(movement_mode=jnp.broadcast_to(
+                    mode, cs.ctrl.movement_mode.shape)),
+                joy=cs.joy.replace(
+                    velx=jnp.full((batch,), walk_velx, dtype)))
+            loop = loop.replace(controller=cs)
+            loop, warm = step_mod.closed_loop_tick_wb_batched(
+                loop, params_b, pattern, model, horizon=horizon,
+                substeps=substeps, kf_type=kf_type, iters=pdip_iters,
+                solver=solver, backend=backend,
+                low_level_type=low_level_type, n_inner=n_inner,
+                terrain=terrain, warm=warm)
+            return (loop, warm), (loop.sim.q[:, 0:3], loop.sim.v[:, 0:3])
+
+        (final, _), diag = jax.lax.scan(body, (loop, warm0),
+                                        jnp.arange(n_ticks))
+        return final, diag
+
+    return rollout
+
+
+def init_wb_loop_batch(params: RobotParams, model, batch: int, key,
+                       height_range=(0.26, 0.30), dtype=jnp.float32,
+                       body_height=0.28, terrain=None):
+    """Batch of randomized articulated-sim loop states."""
+    from legged_mpc_control_tpu.sim import wb_sim
+
     heights = jax.random.uniform(key, (batch,), dtype, *height_range)
 
     def init_one(h):
         return step_mod.LoopState(
             controller=step_mod.controller_init(params, dtype=dtype,
-                                                body_height=0.3),
+                                                body_height=body_height),
+            sim=wb_sim.wb_sim_init(model, params, height=h, dtype=dtype,
+                                   terrain=terrain))
+
+    return jax.jit(jax.vmap(init_one))(heights)
+
+
+def init_loop_batch(params: RobotParams, batch: int, key,
+                    height_range=(0.27, 0.32), dtype=jnp.float32,
+                    body_height=0.3):
+    """Batch of randomized initial loop states. `body_height` is the
+    commanded standing height (A1 0.30, Go1 0.28 — reference:
+    gazebo_*_convex.yaml default body height)."""
+    heights = jax.random.uniform(key, (batch,), dtype, *height_range)
+
+    def init_one(h):
+        return step_mod.LoopState(
+            controller=step_mod.controller_init(params, dtype=dtype,
+                                                body_height=body_height),
             sim=srb_sim.sim_init(params, height=h, dtype=dtype))
 
     # jit: eager vmapped init dispatches hundreds of tiny ops per scenario

@@ -198,11 +198,80 @@ def wb_sim_step(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
                       f_contact=fs[-1], last_acc=accs[-1])
 
 
+def wb_sim_step_batched(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
+                        params: RobotParams, dt, *, n_inner: int = 4,
+                        terrain=None, wall=None, backend: str = "xla"):
+    """Scenario-batched articulated step: every leaf of `s`/`tau`/`params`
+    carries a leading batch axis; `model` (the robot) is shared.
+
+    Identical physics to vmap(wb_sim_step) EXCEPT the 18x18 mass-matrix
+    solve: under vmap that lowers to XLA's batched library LU — the
+    batched-tiny regime that motivated ops/chol_pallas.py. Here the B
+    mass matrices (SPD: CRBA + armature) are factorized in ONE
+    batch-in-lanes Cholesky call when backend="pallas", which is what
+    makes the Gazebo-fidelity twin a viable SWEEP backend on TPU instead
+    of a B=1 test prop."""
+    from legged_mpc_control_tpu.ops import chol_pallas
+
+    dtype = s.q.dtype
+    h = jnp.asarray(dt, dtype) / n_inner
+    tau_c = jnp.clip(tau, -TAU_MAX, TAU_MAX)
+    mu = jnp.asarray(params.mu, dtype)           # (B,)
+    arma = jnp.concatenate([jnp.zeros(6, dtype),
+                            jnp.full((12,), ARMATURE, dtype)])
+
+    v_mass = jax.vmap(lambda q: wb.mass_matrix(q, model))
+    v_nle = jax.vmap(lambda q, v: wb.nonlinear_effects(q, v, model))
+    v_jac = jax.vmap(lambda q: wb.foot_jacobians(q, model))
+    v_feet = jax.vmap(lambda q: wb.foot_positions(q, model))
+    v_cf = jax.vmap(lambda f, vf, a, m: _contact_forces(
+        f, vf, a, m, terrain, dtype))
+    v_wf = (jax.vmap(lambda f, vf, a, m: _wall_contact_forces(
+        f, vf, a, m, wall, dtype)) if wall is not None else None)
+
+    def inner(carry, _):
+        q, v, anchor, wall_anchor = carry
+        M = v_mass(q) + jnp.diag(arma)[None]
+        nle = v_nle(q, v)
+        J = v_jac(q)                               # (B,4,3,18)
+        feet = v_feet(q)
+        vfeet = jnp.einsum("blij,bj->bli", J, v)
+
+        f, anchor = v_cf(feet, vfeet, anchor, mu)
+        if v_wf is not None:
+            fw, wall_anchor = v_wf(feet, vfeet, wall_anchor, mu)
+            f = f + fw
+
+        gen = (-nle).at[:, 6:].add(tau_c - JOINT_DAMPING * v[:, 6:])
+        gen = gen + jnp.einsum("blij,bli->bj", J, f)
+        if backend == "pallas":
+            Lt = chol_pallas.cholesky_lanes(M.transpose(1, 2, 0))
+            a = chol_pallas.cho_solve_lanes(Lt, gen.T).T
+        else:
+            a = jnp.linalg.solve(M, gen[..., None])[..., 0]
+        v = v + a * h
+        q = q + v * h
+        return (q, v, anchor, wall_anchor), (f, a[:, :3])
+
+    (q, v, anchor, wall_anchor), (fs, accs) = jax.lax.scan(
+        inner, (s.q, s.v, s.anchor, s.wall_anchor), None, length=n_inner)
+    return WbSimState(q=q, v=v, anchor=anchor, wall_anchor=wall_anchor,
+                      f_contact=fs[-1], last_acc=accs[-1])
+
+
 def wb_read_sensors(s: WbSimState, model: wb.WbModel):
     """Raw proprioception dict — same contract as srb_sim.read_sensors
     (what GazeboInterface ingests, reference: GazeboInterface.cpp:122-295),
     with the foot force sensor fed by the *physical* contact normal force
-    (the Gazebo bumper-plugin analog)."""
+    (the Gazebo bumper-plugin analog).
+
+    Limitation (like the real A1's sole-mounted pressure sensor): the
+    reading is the WORLD-Z force component, so a foot pressed against a
+    vertical wall reads ~0 even while loaded. Wall scenarios must
+    therefore gate contact on environment geometry (the lean policy's
+    gap-based `grounded_now`, mpc/ci_mpc.make_ci_lean_policy) and use
+    kf_type=0; the kf_type=1 estimator treats any contact as
+    at-terrain-height and would mis-handle wall-contacting feet."""
     from legged_mpc_control_tpu.ops import so3
 
     dtype = s.q.dtype

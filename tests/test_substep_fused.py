@@ -1,0 +1,124 @@
+"""The fused Pallas substep chain (ops/substep_pallas.py) computes the
+same thing as the XLA substep scan it replaces in
+closed_loop_tick_batched — checked in Pallas interpret mode on CPU,
+starting from a mid-walk state with mixed stance/swing contacts.
+
+Interpret-mode evaluation is per-op, so the CPU tests compare a 2-substep
+chain (every substep is the same program; 2 covers the carry-over); the
+full 8-substep compiled kernel is compared on real TPU in
+tools/exp_fused.py and exercised by bench.py's fidelity gate."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from legged_mpc_control_tpu import constants as C
+from legged_mpc_control_tpu.config import go1_params
+from legged_mpc_control_tpu.control import step as step_mod
+from legged_mpc_control_tpu.mpc import gait
+from legged_mpc_control_tpu.ops import substep_pallas
+from legged_mpc_control_tpu.parallel import runner
+from legged_mpc_control_tpu.sim import srb_sim
+
+DT = jnp.float32
+B = 8
+DT_LL = C.MPC_DT / C.SUBSTEPS_PER_MPC_TICK
+
+
+def _mid_walk_state():
+    """A batch mid-trot: run a few real ticks on the XLA path so contacts,
+    anchors and MPC outputs are all non-trivial."""
+    params1 = go1_params(DT)
+    pattern = gait.trot_pattern(DT)
+    loop = runner.init_loop_batch(params1, B, jax.random.PRNGKey(3),
+                                  dtype=DT)
+    params = step_mod.broadcast_params(params1, B)
+    warm = jnp.zeros((B, 120), DT)
+    for i in range(6):
+        cs = loop.controller
+        mode = jnp.ones((B,), jnp.int32) if i >= 3 else jnp.zeros(
+            (B,), jnp.int32)
+        cs = cs.replace(
+            ctrl=cs.ctrl.replace(movement_mode=mode),
+            joy=cs.joy.replace(velx=jnp.full((B,), 0.25, DT)))
+        loop = loop.replace(controller=cs)
+        loop, warm = step_mod.closed_loop_tick_batched(
+            loop, params, pattern, horizon=10, iters=10, solver="riccati",
+            backend="xla", warm=warm, fused_substeps=False)
+    return loop, params
+
+
+def _xla_substeps(loop, params, substeps):
+    """The reference XLA substep scan, replicated from
+    closed_loop_tick_batched's fallback path."""
+    cs = loop.controller
+    v_anf = jax.vmap(step_mod._anchored_normal_force)
+    v_sensors = jax.vmap(step_mod._sim_sensors)
+    v_fb = jax.vmap(lambda c, raw, pp: step_mod.feedback_update(
+        c, raw, pp, DT_LL, kf_type=0))
+    v_ll = jax.vmap(lambda c, pp: step_mod.lowlevel_update(c, pp, 0))
+    v_sim = jax.vmap(lambda ss, tt, pp: srb_sim.sim_step(
+        ss, tt, pp, DT_LL))
+    sim = loop.sim
+    for _ in range(substeps):
+        cs, tau, _safe = v_ll(cs, params)
+        sim = v_sim(sim, tau, params)
+        grf_n = jnp.where(sim.contact, v_anf(
+            step_mod.LoopState(controller=cs, sim=sim), params), 0.0)
+        cs = v_fb(cs, v_sensors(sim, params, grf_n), params)
+    return sim, cs
+
+
+def test_fused_substeps_match_xla():
+    loop, params = _mid_walk_state()
+    sim_ref, cs_ref = _xla_substeps(loop, params, 2)
+
+    cs = loop.controller
+    out = substep_pallas.substep_chain_fused(
+        loop.sim.pos, loop.sim.quat, loop.sim.vel, loop.sim.omega,
+        loop.sim.q, loop.sim.dq, loop.sim.contact, loop.sim.anchor,
+        cs.ctrl.optimized_state, cs.ctrl.optimized_input,
+        cs.ctrl.movement_mode, params.mass, params.mu, params.kp_foot,
+        params.kd_foot, params.trunk_inertia, params.rho_fix,
+        substeps=2, dt=DT_LL, interpret=True)
+
+    np.testing.assert_allclose(out["pos"], sim_ref.pos, atol=2e-4)
+    np.testing.assert_allclose(out["quat"], sim_ref.quat, atol=2e-4)
+    np.testing.assert_allclose(out["vel"], sim_ref.vel, atol=2e-3)
+    np.testing.assert_allclose(out["omega"], sim_ref.omega, atol=5e-3)
+    np.testing.assert_allclose(out["q"], sim_ref.q, atol=2e-3)
+    np.testing.assert_allclose(out["dq"], sim_ref.dq, atol=5e-2)
+    np.testing.assert_allclose(out["anchor"], sim_ref.anchor, atol=2e-4)
+    assert np.array_equal(np.asarray(out["contact"]),
+                          np.asarray(sim_ref.contact))
+    np.testing.assert_allclose(out["q_tgt"],
+                               cs_ref.ctrl.joint_ang_tgt, atol=2e-3)
+    np.testing.assert_allclose(out["dq_tgt"],
+                               cs_ref.ctrl.joint_vel_tgt, atol=5e-2)
+    np.testing.assert_allclose(out["tau_ff"],
+                               cs_ref.ctrl.joint_tau_tgt, atol=1e-2)
+
+
+def test_fused_substeps_odd_batch_padding():
+    """Batch not a lanes multiple: padded lanes must not contaminate."""
+    loop, params = _mid_walk_state()
+    take = 3
+
+    def head(x):
+        return x[:take]
+
+    sub_loop = jax.tree.map(head, loop)
+    sub_params = jax.tree.map(head, params)
+    sim_ref, _ = _xla_substeps(sub_loop, sub_params, 2)
+    cs = sub_loop.controller
+    out = substep_pallas.substep_chain_fused(
+        sub_loop.sim.pos, sub_loop.sim.quat, sub_loop.sim.vel,
+        sub_loop.sim.omega, sub_loop.sim.q, sub_loop.sim.dq,
+        sub_loop.sim.contact, sub_loop.sim.anchor,
+        cs.ctrl.optimized_state, cs.ctrl.optimized_input,
+        cs.ctrl.movement_mode, sub_params.mass, sub_params.mu,
+        sub_params.kp_foot, sub_params.kd_foot, sub_params.trunk_inertia,
+        sub_params.rho_fix, substeps=2, dt=DT_LL,
+        interpret=True)
+    np.testing.assert_allclose(out["pos"], sim_ref.pos, atol=2e-4)
+    np.testing.assert_allclose(out["q"], sim_ref.q, atol=2e-3)
