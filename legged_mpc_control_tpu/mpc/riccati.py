@@ -135,6 +135,50 @@ def _cho_solve_lanes(L, M):
     out = jnp.stack(zs)
     return out[:, 0, :] if vec else out
 
+def dual_residual_batched(u, lam, x0, x_ref, A_seq, Bmat, contact,
+                          q_weights, r_weights, mu, dt):
+    """Stationarity residual of the stagewise QP at (u, lam):
+        r = R u + B^T psi + G(mu)^T lam,
+    with psi the adjoint of the tracking gradient along the rollout of u
+    — one rollout + one adjoint sweep, batch-first layout (a per-call
+    diagnostic, not a hot path).
+
+    Args: u (B, 12H), lam (B, H, 4, 6) inequality duals, the rest as in
+    `solve_qp_riccati`. Returns (B,) max-abs residual."""
+    B, n = u.shape
+    H = n // 12
+    dtype = u.dtype
+    legmask = jnp.repeat(contact, 3, axis=-1)               # (B,H,12)
+    B_seq = Bmat[:, None] * legmask[:, :, None, :]          # (B,H,12,12)
+    qw = jnp.broadcast_to(jnp.asarray(q_weights, dtype), (B, NX))
+    rw = jnp.broadcast_to(jnp.asarray(r_weights, dtype), (B, NX))
+    d_aff = jnp.zeros((NX,), dtype).at[NX - 1].set(-GRAVITY * dt)
+    u_st = u.reshape(B, H, NX)
+
+    def roll(x, k):
+        xn = (jnp.einsum("bij,bj->bi", A_seq[:, k], x)
+              + jnp.einsum("bij,bj->bi", B_seq[:, k], u_st[:, k])
+              + d_aff[None])
+        return xn, xn
+
+    _, X = jax.lax.scan(roll, x0, jnp.arange(H))            # (H,B,12)
+
+    def adj(p, k):
+        # psi_k = qx_k + A_{k+1}^T psi_{k+1} (zero beyond the horizon)
+        qx = qw * (X[k] - x_ref[:, k])
+        pk = qx + jnp.where(k + 1 < H, 1.0, 0.0) * jnp.einsum(
+            "bji,bj->bi", A_seq[:, jnp.minimum(k + 1, H - 1)], p)
+        return pk, pk
+
+    _, psi_r = jax.lax.scan(adj, jnp.zeros((B, NX), dtype),
+                            jnp.arange(H - 1, -1, -1))
+    psi = psi_r[::-1]                                       # (H,B,12)
+    bt_psi = jnp.einsum("bkji,kbj->bki", B_seq, psi)        # (B,H,12)
+    r = (u_st * rw[:, None, :] + bt_psi
+         + _gt_apply(lam, mu).reshape(B, H, NX))
+    return jnp.max(jnp.abs(r).reshape(B, -1), axis=-1)
+
+
 def warm_shift(u_prev, contact):
     """Cross-tick warm start primal: shift the previous tick's optimal
     input sequence forward one stage (stage k of this tick aligns with
@@ -395,7 +439,7 @@ def solve_qp_riccati_batched(x0, x_ref, A_seq, Bmat, contact, q_weights,
 
 def solve_qp_riccati(x0, x_ref, A_seq, Bmat, contact, q_weights, r_weights,
                      mu, fz_max, dt, *, iters=18, backend="xla",
-                     warm_u=None):
+                     warm_u=None, diagnostics=True, interpret=False):
     """Backend dispatcher for the stagewise Riccati IPM.
 
     backend="pallas" routes f32 problems with H <= 12 through the
@@ -403,19 +447,27 @@ def solve_qp_riccati(x0, x_ref, A_seq, Bmat, contact, q_weights, r_weights,
     stage-scan formulation at B=4096: the XLA version pays a kernel-launch
     boundary per tiny stage); everything else runs the XLA stage-scan
     version. Identical optima (same Mehrotra iteration; cross-checked in
-    tests/test_riccati_fused.py)."""
+    tests/test_riccati_fused.py).
+
+    diagnostics: evaluate the REAL dual residual for the fused path with
+    one post-kernel rollout+adjoint (`dual_residual_batched`) on the
+    kernel's (u, lam) — O(H) elementwise work, negligible next to the
+    iters x factorization inside. False skips it and reports -1.0."""
     from legged_mpc_control_tpu.ops import riccati_pallas
 
     H = x_ref.shape[1]
     if backend == "pallas" and riccati_pallas.fits(H, x_ref.dtype):
-        u, gap = riccati_pallas.solve_qp_riccati_fused(
+        u, gap, lam = riccati_pallas.solve_qp_riccati_fused(
             x0, x_ref, A_seq, Bmat, contact, q_weights, r_weights,
-            mu, fz_max, dt, iters=iters, warm_u=warm_u)
-        # dual residual is not evaluated in-kernel (it would cost an extra
-        # rollout+adjoint per call for a diagnostic nothing consumes in the
-        # product path); report the complementarity gap alone
-        return PdipResult(u=u, gap=gap,
-                          r_dual=jnp.full_like(gap, -1.0),
+            mu, fz_max, dt, iters=iters, warm_u=warm_u,
+            interpret=interpret)
+        if diagnostics:
+            r_dual = dual_residual_batched(
+                u, lam, x0, x_ref, A_seq, Bmat, contact, q_weights,
+                r_weights, mu, dt)
+        else:
+            r_dual = jnp.full_like(gap, -1.0)
+        return PdipResult(u=u, gap=gap, r_dual=r_dual,
                           iters=jnp.asarray(iters))
     return solve_qp_riccati_batched(
         x0, x_ref, A_seq, Bmat, contact, q_weights, r_weights,

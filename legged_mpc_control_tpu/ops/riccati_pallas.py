@@ -166,8 +166,8 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps, warm):
     m_con = H * 4 * 6
 
     def kernel(x0_ref, xref_ref, A_ref, B_ref, qw_ref, rw_ref, mu_ref,
-               fz_ref, u0_ref, u_out, gap_out, L_s, K_s, Hx_s, vec_s, kff_s,
-               du_s, blk_s, u_s, g_s):
+               fz_ref, u0_ref, u_out, gap_out, lam_out, L_s, K_s, Hx_s,
+               vec_s, kff_s, du_s, blk_s, u_s, g_s):
         # tile views (all VMEM)
         x0 = x0_ref[...]                   # (12, L)
         Bm = B_ref[...]                    # (H, 12, 12, L) (contact-masked)
@@ -365,6 +365,7 @@ def _make_kernel(H, iters, dt, tol, d_max, reg, eps, warm):
             (u0, s0, lam0, done0))
         u_out[...] = u
         gap_out[...] = (jnp.sum(s * lam, axis=(0, 1, 2)) / m_con)[None]
+        lam_out[...] = lam
 
     return kernel
 
@@ -376,7 +377,9 @@ def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
     """One-launch Riccati IPM. Same contract as
     mpc.riccati.solve_qp_riccati_batched but f32-only and H <= 12
     (dispatched by riccati.solve_qp_riccati when it `fits`).
-    Returns (u (B, 12H) with swing legs zeroed, duality gap (B,))."""
+    Returns (u (B, 12H) with swing legs zeroed, duality gap (B,),
+    inequality duals lam (B, H, 4, 6) — consumed by the optional
+    post-solve dual-residual diagnostic, mpc/riccati.py)."""
     B, H, _ = x_ref.shape
     dtype = x_ref.dtype
     tol = 1e-6
@@ -432,10 +435,11 @@ def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
                             lambda b, _nd=nd: (0,) * (_nd - 1) + (b,),
                             memory_space=pltpu.VMEM)
 
-    u, gap = pl.pallas_call(
+    u, gap, lam = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct((H, NX, Bp), dtype),
-                   jax.ShapeDtypeStruct((1, Bp), dtype)],
+                   jax.ShapeDtypeStruct((1, Bp), dtype),
+                   jax.ShapeDtypeStruct((H, 4, 6, Bp), dtype)],
         grid=grid,
         in_specs=[
             spec((NX, Bp)),
@@ -448,7 +452,8 @@ def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
             spec((1, Bp)),
             spec((H, NX, Bp)),
         ],
-        out_specs=[spec((H, NX, Bp)), spec((1, Bp))],
+        out_specs=[spec((H, NX, Bp)), spec((1, Bp)),
+                   spec((H, 4, 6, Bp))],
         scratch_shapes=[
             pltpu.VMEM((H, NX, NX, LANES), dtype),     # L cache
             pltpu.VMEM((H, NX, NX, LANES), dtype),     # K cache
@@ -465,4 +470,5 @@ def solve_qp_riccati_fused(x0, x_ref, A_seq, Bmat, contact, q_weights,
 
     u = u[..., :B]                                             # (H,12,B)
     u = u.transpose(2, 0, 1).reshape(B, H * NX)
-    return u * legmask.reshape(B, H * NX), gap[0, :B]
+    lam = lam[..., :B].transpose(3, 0, 1, 2)                   # (B,H,4,6)
+    return u * legmask.reshape(B, H * NX), gap[0, :B], lam

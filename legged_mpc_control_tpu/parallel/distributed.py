@@ -76,7 +76,8 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def device_sharded_loop(params: RobotParams, global_batch: int, key,
-                        mesh: Mesh, dtype=jnp.float32):
+                        mesh: Mesh, dtype=jnp.float32,
+                        height_range=(0.26, 0.30), body_height=0.28):
     """Build the global scenario LoopState with each host initializing ONLY
     its addressable shards (no host ever materializes the 65k batch).
 
@@ -94,7 +95,8 @@ def device_sharded_loop(params: RobotParams, global_batch: int, key,
         if d.process_index != jax.process_index():
             continue
         sub = runner.init_loop_batch(
-            params, b_loc, jax.random.fold_in(key, gidx), dtype=dtype)
+            params, b_loc, jax.random.fold_in(key, gidx), dtype=dtype,
+            height_range=height_range, body_height=body_height)
         local_trees.append(jax.device_put(sub, d))
         local_devs.append(d)
 
@@ -121,7 +123,7 @@ def replicate_global(mesh: Mesh, tree):
 
 def make_sweep(pattern: gait_mod.GaitPattern, mesh: Mesh, *, horizon=10,
                n_ticks=10, pdip_iters=15, solver="pdip", backend=None,
-               walk_velx=0.25):
+               walk_velx=0.25, stand_ticks=20):
     """Jitted global rollout + replicated metric reduction.
 
     Returns sweep(loop_global, params_global) ->
@@ -129,7 +131,8 @@ def make_sweep(pattern: gait_mod.GaitPattern, mesh: Mesh, *, horizon=10,
     """
     roll = runner.make_batched_rollout(
         pattern, horizon=horizon, n_ticks=n_ticks, pdip_iters=pdip_iters,
-        solver=solver, backend=backend, walk_velx=walk_velx)
+        solver=solver, backend=backend, walk_velx=walk_velx,
+        stand_ticks=stand_ticks)
 
     rep = NamedSharding(mesh, P())
 

