@@ -494,9 +494,65 @@ def admm_warm_init(batch: int, horizon: int, dtype=jnp.float32):
     return (jnp.zeros((batch, n), dtype=dtype), z, z)
 
 
+def unpack_fused_feedback(cs: ControllerState, sim, out,
+                          params: RobotParams) -> ControllerState:
+    """Rebuild the Feedback pytree + Raibert targets from the fused substep
+    kernel's FB_ROWS block — the batched equivalent of `feedback_update`
+    with kf_type=0 on flat ground (see ops/substep_pallas.py kernel tail).
+    All arrays batch-first."""
+    from legged_mpc_control_tpu.ops.substep_pallas import FB_ROWS
+
+    fb = out["fb"]
+
+    def take(name, *shape):
+        off, n = FB_ROWS[name]
+        x = fb[:, off:off + n]
+        return x.reshape((x.shape[0],) + shape) if shape else x
+
+    B = fb.shape[0]
+    euler = take("euler")
+    R = take("rotmat", 3, 3)
+    yaw = euler[:, 2]
+    cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(cy)
+    o = jnp.ones_like(cy)
+    Rz = jnp.stack([jnp.stack([cy, -sy, z], -1),
+                    jnp.stack([sy, cy, z], -1),
+                    jnp.stack([z, z, o], -1)], -2)
+    fp_abs = take("foot_pos_abs", 4, 3)
+    fv_abs = take("foot_vel_abs", 4, 3)
+    raib_abs = take("raibert_abs", 4, 3)
+    fbk = cs.fbk.replace(
+        root_quat=out["quat"], root_pos=out["pos"],
+        root_lin_vel=out["vel"], root_euler=euler, root_rot_mat=R,
+        root_rot_mat_z=Rz, root_ang_vel=out["omega"],
+        imu_acc=take("imu_acc"), imu_ang_vel=take("imu_gyro"),
+        joint_pos=out["q"], joint_vel=out["dq"],
+        foot_force_sensor=take("foot_force_sensor"),
+        foot_contact_flag=take("contact_sig"),
+        foot_contact_bool=take("contact_bool") > 0.5,
+        foot_pos_rel=take("foot_pos_rel", 4, 3),
+        foot_vel_rel=take("foot_vel_rel", 4, 3),
+        jac_foot=take("jac", 4, 3, 3),
+        foot_pos_abs=fp_abs, foot_vel_abs=fv_abs,
+        foot_pos_world=fp_abs + out["pos"][:, None, :],
+        foot_vel_world=take("foot_vel_world", 4, 3),
+        foot_force_tau_est=take("force_tau_est", 4, 3),
+    )
+    ctrl = cs.ctrl.replace(
+        joint_ang_tgt=out["q_tgt"], joint_vel_tgt=out["dq_tgt"],
+        joint_tau_tgt=out["tau_ff"],
+        foot_pos_target_abs=raib_abs,
+        foot_pos_target_world=raib_abs + out["pos"][:, None, :],
+    )
+    return cs.replace(fbk=fbk, ctrl=ctrl,
+                      estimation_inited=jnp.ones((B,), dtype=bool))
+
+
 @partial(jax.jit, static_argnames=("horizon", "substeps", "kf_type",
                                    "iters", "solver", "backend",
-                                   "low_level_type", "fused_substeps"))
+                                   "low_level_type", "fused_substeps",
+                                   "carry_feedback"))
 def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
                              pattern: gait_mod.GaitPattern, *,
                              horizon: int = 10,
@@ -508,7 +564,8 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
                              low_level_type: int = 0,
                              terrain=None,
                              warm=None,
-                             fused_substeps: bool = True):
+                             fused_substeps: bool = True,
+                             carry_feedback: bool = False):
     """Scenario-batched closed-loop tick. Same semantics as
     `closed_loop_tick` vmapped over a leading scenario axis, EXCEPT the QP
     solve runs once for the whole batch through the explicitly-batched
@@ -542,38 +599,51 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
         sim, tau, p, dt_ll, terrain=terrain))
 
     cs = loop.controller
-    grf_normal = jnp.where(loop.sim.contact, v_anf(loop, params), 0.0)
-    cs = v_fb(cs, v_sensors(loop.sim, params, grf_normal), params)
+    use_fused = (fused_substeps and backend == "pallas" and terrain is None
+                 and kf_type == 0 and low_level_type == 0)
+    if not (carry_feedback and use_fused):
+        # opening feedback from raw sim sensors. With carry_feedback the
+        # previous tick's fused kernel already left a complete Feedback in
+        # the carry (unpack_fused_feedback), so this pass is skipped — the
+        # caller must have seeded the first tick (runner.make_batched_
+        # rollout does one XLA feedback before the scan).
+        grf_normal = jnp.where(loop.sim.contact, v_anf(loop, params), 0.0)
+        cs = v_fb(cs, v_sensors(loop.sim, params, grf_normal), params)
     cs, warm = convex_mpc.mpc_tick_batched(
         cs, params, pattern, dt_mpc, horizon=horizon, iters=iters,
         solver=solver, backend=backend, warm=warm)
 
-    if (fused_substeps and backend == "pallas" and terrain is None
-            and kf_type == 0 and low_level_type == 0):
+    if use_fused:
         # product fast path: the whole substep chain in ONE Pallas launch
         # (ops/substep_pallas.py). The in-substep Feedback products are
-        # recomputed in-kernel; the next tick's opening feedback_update
-        # rebuilds the full Feedback pytree from the returned sim state,
-        # so downstream consumers see identical values (see the module
+        # recomputed in-kernel, and the kernel's FB_ROWS block carries the
+        # final state's full Feedback for the next tick (see the module
         # docstring for the exact equivalence argument; cross-checked by
         # tests/test_substep_fused.py).
         from legged_mpc_control_tpu.ops import substep_pallas
 
+        thresh = (params.foot_sensor_min + params.foot_sensor_ratio
+                  * (params.foot_sensor_max - params.foot_sensor_min))
         out = substep_pallas.substep_chain_fused(
             loop.sim.pos, loop.sim.quat, loop.sim.vel, loop.sim.omega,
             loop.sim.q, loop.sim.dq, loop.sim.contact, loop.sim.anchor,
             cs.ctrl.optimized_state, cs.ctrl.optimized_input,
             cs.ctrl.movement_mode, params.mass, params.mu,
             params.kp_foot, params.kd_foot, params.trunk_inertia,
-            params.rho_fix, substeps=substeps, dt=dt_ll)
+            params.rho_fix, params.default_foot_pos,
+            params.gait_counter_speed, thresh,
+            cs.ctrl.root_lin_vel_d_rel, substeps=substeps, dt=dt_ll)
         sim = srb_sim.SimState(
             pos=out["pos"], quat=out["quat"], vel=out["vel"],
             omega=out["omega"], q=out["q"], dq=out["dq"],
             contact=out["contact"], anchor=out["anchor"],
             last_acc=out["last_acc"])
-        cs = cs.replace(ctrl=cs.ctrl.replace(
-            joint_ang_tgt=out["q_tgt"], joint_vel_tgt=out["dq_tgt"],
-            joint_tau_tgt=out["tau_ff"]))
+        if carry_feedback:
+            cs = unpack_fused_feedback(cs, sim, out, params)
+        else:
+            cs = cs.replace(ctrl=cs.ctrl.replace(
+                joint_ang_tgt=out["q_tgt"], joint_vel_tgt=out["dq_tgt"],
+                joint_tau_tgt=out["tau_ff"]))
         return LoopState(controller=cs, sim=sim), warm
 
     def substep(carry, _):
@@ -592,6 +662,25 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
     (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
                                 length=substeps, unroll=True)
     return LoopState(controller=cs, sim=sim), warm
+
+
+def seed_batched_feedback(loop: LoopState, params: RobotParams, *,
+                          kf_type: int = 0, terrain=None,
+                          substeps: int = C.SUBSTEPS_PER_MPC_TICK
+                          ) -> LoopState:
+    """One batched feedback pass from raw sim sensors — seeds the carry
+    for `closed_loop_tick_batched(carry_feedback=True)` rollouts (the
+    fused kernel maintains Feedback from then on)."""
+    dt_ll = C.MPC_DT / substeps
+    v_anf = jax.vmap(_anchored_normal_force)
+    v_sensors = jax.vmap(_sim_sensors)
+    v_fb = jax.vmap(
+        lambda cs, raw, p: feedback_update(cs, raw, p, dt_ll,
+                                           kf_type=kf_type,
+                                           terrain=terrain))
+    grf_n = jnp.where(loop.sim.contact, v_anf(loop, params), 0.0)
+    cs = v_fb(loop.controller, v_sensors(loop.sim, params, grf_n), params)
+    return loop.replace(controller=cs)
 
 
 def _anchored_normal_force(loop: LoopState, params: RobotParams):

@@ -39,7 +39,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from legged_mpc_control_tpu.constants import GRAVITY_EST
+from legged_mpc_control_tpu.constants import (
+    FOOT_DELTA_X_LIMIT,
+    FOOT_DELTA_Y_LIMIT,
+    GRAVITY_EST,
+)
 from legged_mpc_control_tpu.control.safety import (
     JOINT_VEL_LIMIT,
     PITCH_LIMIT,
@@ -221,8 +225,9 @@ def _make_kernel(substeps, dt, dtype):
     def kernel(pos_ref, quat_ref, vel_ref, omega_ref, q_ref, dq_ref,
                contact_ref, anchor_ref, ostate_ref, oinput_ref, mode_ref,
                mass_ref, mu_ref, kp_ref, kd_ref, inertia_ref, rho_ref,
+               dfp_ref, gspeed_ref, thresh_ref, veld_ref,
                pos_o, quat_o, vel_o, omega_o, q_o, dq_o, contact_o,
-               anchor_o, lastacc_o, qt_o, dqt_o, taut_o):
+               anchor_o, lastacc_o, qt_o, dqt_o, taut_o, fb_o):
         # keep the captured mode as f32 — an i1 lane vector crossing the
         # fori_loop region boundary fails Mosaic legalization (same issue
         # as riccati_pallas.py's f32 `done` carry)
@@ -443,7 +448,92 @@ def _make_kernel(substeps, dt, dtype):
                 dqt_o[3 * l + i] = dqt[l][i]
                 taut_o[3 * l + i] = tff[l][i]
 
+        # === feedback products of the FINAL state — one extra FK/jac
+        # evaluation so the rollout can skip the per-tick XLA feedback
+        # pass entirely (control/sensors.sensor_update +
+        # sim/srb_sim.read_sensors + control/raibert.raibert_footholds,
+        # kf_type=0). Row layout documented in FB_ROWS below. ===
+        qw, qx, qy, qz = quat
+        R = _rotmat(qw, qx, qy, qz)
+        t0 = 2.0 * (qw * qx + qy * qz)
+        t1 = 1.0 - 2.0 * (qx * qx + qy * qy)
+        roll = _atan2(t0, t1)
+        t2 = jnp.clip(2.0 * (qw * qy - qz * qx), -1.0, 1.0)
+        pitch = _atan2(t2, jnp.sqrt(jnp.maximum(1.0 - t2 * t2, 0.0)))
+        t3 = 2.0 * (qw * qz + qx * qy)
+        t4 = 1.0 - 2.0 * (qy * qy + qz * qz)
+        yaw = _atan2(t3, t4)
+        thresh = thresh_ref[0]
+        rows = [roll, pitch, yaw]
+        rows += [R[i][j] for i in range(3) for j in range(3)]
+        fp_rel, fp_abs, fv_rel, fv_abs, fv_world = [], [], [], [], []
+        jac_rows, fsens, fsig, fbool, fest = [], [], [], [], []
+        for l in range(4):
+            fk = _fk_leg(q[l][0], q[l][1], q[l][2], *rho[l])
+            J = _jac_leg(q[l][0], q[l][1], q[l][2],
+                         rho[l][2], rho[l][3], rho[l][4])
+            fvr = _mv(J, dq[l])
+            fab = _mv(R, fk)
+            fva = _mv(R, fvr)
+            oxp = _cross(omega, fab)
+            fvw = [fva[i] + vel[i] + oxp[i] for i in range(3)]
+            fp_rel += fk
+            fp_abs += fab
+            fv_rel += fvr
+            fv_abs += fva
+            fv_world += fvw
+            jac_rows += [J[i][j] for i in range(3) for j in range(3)]
+            # foot force sensor: anchored-leg normal force from tau_ff
+            # (step._anchored_normal_force), gated on sim contact
+            fr = _solve3_t(J, [-tff[l][i] for i in range(3)])
+            fw = _mv(R, fr)
+            anf = jnp.maximum(fw[2], 0.0)
+            fs = jnp.where(contact[l] > 0.5, anf, 0.0)
+            fsens.append(fs)
+            fsig.append(jax.nn.sigmoid(10.0 * (fs - thresh)))
+            fbool.append((fs > thresh).astype(dtype))
+            # GRF estimate from actuation torques with the PD command
+            # stripped (sensors.sensor_update; joint_tau_est is zero in
+            # the on-device sim)
+            taue = [-(kp[i] * (qt[l][i] - q[l][i])
+                      + kd[i] * (dqt[l][i] - dq[l][i])) for i in range(3)]
+            fe = _mv(R, _solve3_t(J, taue))
+            fest += fe
+        rows += fp_rel + fp_abs + fv_rel + fv_abs + fv_world
+        rows += jac_rows + fsens + fsig + fbool + fest
+        # Raibert footholds (control/raibert.py, flat ground)
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        vdx = cy * veld_ref[0] - sy * veld_ref[1]
+        vdy = sy * veld_ref[0] + cy * veld_ref[1]
+        kf = jnp.sqrt(jnp.abs(pos[2]) / 9.8)
+        tf = 0.25 / gspeed_ref[0]
+        dx = jnp.clip(kf * (vel[0] - vdx) + tf * vdx,
+                      -FOOT_DELTA_X_LIMIT, FOOT_DELTA_X_LIMIT)
+        dy = jnp.clip(kf * (vel[1] - vdy) + tf * vdy,
+                      -FOOT_DELTA_Y_LIMIT, FOOT_DELTA_Y_LIMIT)
+        for l in range(4):
+            d0, d1, d2 = dfp_ref[l, 0], dfp_ref[l, 1], dfp_ref[l, 2]
+            rows += [cy * d0 - sy * d1 + dx, sy * d0 + cy * d1 + dy, d2]
+        g_up = [0.0, 0.0, GRAVITY_EST]
+        rows += _mtv(R, [acc[i] + g_up[i] for i in range(3)])
+        rows += _mtv(R, omega)
+        for i, r in enumerate(rows):
+            fb_o[i] = r
+
     return kernel
+
+
+# fb_o row layout (see kernel tail): name -> (offset, length)
+FB_ROWS = {
+    "euler": (0, 3), "rotmat": (3, 9), "foot_pos_rel": (12, 12),
+    "foot_pos_abs": (24, 12), "foot_vel_rel": (36, 12),
+    "foot_vel_abs": (48, 12), "foot_vel_world": (60, 12),
+    "jac": (72, 36), "foot_force_sensor": (108, 4),
+    "contact_sig": (112, 4), "contact_bool": (116, 4),
+    "force_tau_est": (120, 12), "raibert_abs": (132, 12),
+    "imu_acc": (144, 3), "imu_gyro": (147, 3),
+}
+FB_N = 150
 
 
 @functools.partial(jax.jit,
@@ -451,14 +541,18 @@ def _make_kernel(substeps, dt, dtype):
 def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
                         sim_dq, sim_contact, sim_anchor, opt_state,
                         opt_input, movement_mode, mass, mu, kp_foot,
-                        kd_foot, trunk_inertia, rho_fix, *, substeps,
+                        kd_foot, trunk_inertia, rho_fix,
+                        default_foot_pos, gait_counter_speed,
+                        contact_thresh, vel_d_rel, *, substeps,
                         dt, interpret=False):
     """Run the whole substep chain for a scenario batch in one launch.
 
     All array args carry a leading batch axis (broadcast_params form).
-    Returns a dict of the new sim fields plus the last commanded joint
-    targets (q_tgt, dq_tgt, tau_ff) — everything the tick-opening
-    feedback_update needs to rebuild Feedback exactly.
+    Returns a dict of the new sim fields, the last commanded joint
+    targets (q_tgt, dq_tgt, tau_ff), and the final state's FEEDBACK
+    products (`fb`, the FB_ROWS block, batch-first (B, 150)) — everything
+    the next tick's MPC needs, so the rollout skips the per-tick XLA
+    feedback pass (see control/step.py:unpack_fused_feedback).
     """
     B = sim_pos.shape[0]
     dtype = sim_pos.dtype
@@ -493,6 +587,10 @@ def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
         lanes(kd_foot),                       # (3,Bp)
         lanes(trunk_inertia),                 # (3,3,Bp)
         lanes(rho_fix),                       # (4,5,Bp)
+        lanes(default_foot_pos),              # (4,3,Bp)
+        lanes(jnp.asarray(gait_counter_speed, dtype)[:, None]),  # (1,Bp)
+        lanes(jnp.asarray(contact_thresh, dtype)[:, None]),      # (1,Bp)
+        lanes(vel_d_rel),                     # (3,Bp)
     ]
 
     kernel = _make_kernel(substeps, float(dt), dtype)
@@ -506,7 +604,7 @@ def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
 
     out_shapes = [(3, Bp), (4, Bp), (3, Bp), (3, Bp), (12, Bp), (12, Bp),
                   (4, Bp), (4, 3, Bp), (3, Bp), (12, Bp), (12, Bp),
-                  (12, Bp)]
+                  (12, Bp), (FB_N, Bp)]
     outs = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct(s, dtype) for s in out_shapes],
@@ -522,7 +620,7 @@ def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
         return jnp.transpose(x, perm)
 
     (pos, quat, vel, omega, q, dq, contact, anchor, last_acc, qt, dqt,
-     taut) = [unlanes(o) for o in outs]
+     taut, fb) = [unlanes(o) for o in outs]
     return dict(pos=pos, quat=quat, vel=vel, omega=omega, q=q, dq=dq,
                 contact=contact > 0.5, anchor=anchor, last_acc=last_acc,
-                q_tgt=qt, dq_tgt=dqt, tau_ff=taut)
+                q_tgt=qt, dq_tgt=dqt, tau_ff=taut, fb=fb)

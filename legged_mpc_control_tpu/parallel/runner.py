@@ -88,6 +88,16 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
                  if solver == "admm"
                  else jnp.zeros((batch, horizon * 12), dtype))
 
+        # with the fused substep kernel active, Feedback rides the carry
+        # (the kernel's FB_ROWS block) — seed it once, then every tick
+        # skips the XLA feedback pass
+        eff_backend = backend or step_mod.default_backend()
+        carry_fb = (fused_substeps and eff_backend == "pallas"
+                    and kf_type == 0 and low_level_type == 0)
+        if carry_fb:
+            loop = step_mod.seed_batched_feedback(
+                loop, params_b, kf_type=kf_type, substeps=substeps)
+
         def body(carry, k):
             loop, warm = carry
             cs = loop.controller
@@ -103,7 +113,7 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
                 loop, params_b, pattern, horizon=horizon, substeps=substeps,
                 kf_type=kf_type, iters=pdip_iters, solver=solver,
                 backend=backend, low_level_type=low_level_type, warm=warm,
-                fused_substeps=fused_substeps)
+                fused_substeps=fused_substeps, carry_feedback=carry_fb)
             return (loop, warm), (loop.sim.pos, loop.sim.vel)
 
         (final, _), diag = jax.lax.scan(body, (loop, warm0),

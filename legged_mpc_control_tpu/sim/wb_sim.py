@@ -245,8 +245,22 @@ def wb_sim_step_batched(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
         gen = (-nle).at[:, 6:].add(tau_c - JOINT_DAMPING * v[:, 6:])
         gen = gen + jnp.einsum("blij,bli->bj", J, f)
         if backend == "pallas":
-            Lt = chol_pallas.cholesky_lanes(M.transpose(1, 2, 0))
-            a = chol_pallas.cho_solve_lanes(Lt, gen.T).T
+            # pad 18 -> 24: the lanes kernels slice (n, n) VMEM blocks,
+            # and Mosaic requires the sublane dimension 8-aligned; the
+            # pad block is identity so the factorization stays SPD and
+            # the padded solution rows are discarded
+            npad = (-18) % 8
+            eye_pad = jnp.eye(18 + npad, dtype=M.dtype)[18:]
+            Mp = jnp.concatenate([
+                jnp.concatenate(
+                    [M, jnp.zeros((M.shape[0], 18, npad), M.dtype)],
+                    axis=2),
+                jnp.broadcast_to(eye_pad[None],
+                                 (M.shape[0], npad, 18 + npad))], axis=1)
+            genp = jnp.concatenate(
+                [gen, jnp.zeros((gen.shape[0], npad), gen.dtype)], axis=1)
+            Lt = chol_pallas.cholesky_lanes(Mp.transpose(1, 2, 0))
+            a = chol_pallas.cho_solve_lanes(Lt, genp.T).T[:, :18]
         else:
             a = jnp.linalg.solve(M, gen[..., None])[..., 0]
         v = v + a * h

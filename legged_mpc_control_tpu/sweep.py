@@ -26,6 +26,10 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--velx", type=float, default=0.15)
     ap.add_argument("--stand-ticks", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=1,
+                    help="run the sweep N times and report the LAST "
+                         "timing (first call pays compile; the artifact "
+                         "number should be the compiled steady state)")
     ap.add_argument("--robot", default="go1", choices=["a1", "go1"])
     ap.add_argument("--solver", default="riccati",
                     choices=["riccati", "pdip", "admm"])
@@ -82,9 +86,11 @@ def main(argv=None):
                                             - start_tick))
 
     import time
-    t0 = time.perf_counter()
-    final, metrics = sweep(loop, params_g)
-    wall = time.perf_counter() - t0
+    final = metrics = None
+    for rep in range(max(1, args.reps)):
+        t0 = time.perf_counter()
+        final, metrics = sweep(loop if rep == 0 else final, params_g)
+        wall = time.perf_counter() - t0
     if args.checkpoint:
         dist.save_sharded(args.checkpoint, final,
                           step=start_tick + args.ticks)

@@ -80,6 +80,10 @@ def test_fused_substeps_match_xla():
         cs.ctrl.optimized_state, cs.ctrl.optimized_input,
         cs.ctrl.movement_mode, params.mass, params.mu, params.kp_foot,
         params.kd_foot, params.trunk_inertia, params.rho_fix,
+        params.default_foot_pos, params.gait_counter_speed,
+        params.foot_sensor_min + params.foot_sensor_ratio
+        * (params.foot_sensor_max - params.foot_sensor_min),
+        cs.ctrl.root_lin_vel_d_rel,
         substeps=2, dt=DT_LL, interpret=True)
 
     np.testing.assert_allclose(out["pos"], sim_ref.pos, atol=2e-4)
@@ -118,7 +122,58 @@ def test_fused_substeps_odd_batch_padding():
         cs.ctrl.optimized_state, cs.ctrl.optimized_input,
         cs.ctrl.movement_mode, sub_params.mass, sub_params.mu,
         sub_params.kp_foot, sub_params.kd_foot, sub_params.trunk_inertia,
-        sub_params.rho_fix, substeps=2, dt=DT_LL,
+        sub_params.rho_fix, sub_params.default_foot_pos,
+        sub_params.gait_counter_speed,
+        sub_params.foot_sensor_min + sub_params.foot_sensor_ratio
+        * (sub_params.foot_sensor_max - sub_params.foot_sensor_min),
+        cs.ctrl.root_lin_vel_d_rel, substeps=2, dt=DT_LL,
         interpret=True)
     np.testing.assert_allclose(out["pos"], sim_ref.pos, atol=2e-4)
     np.testing.assert_allclose(out["q"], sim_ref.q, atol=2e-3)
+
+
+def test_fused_feedback_block_matches_feedback_update():
+    """The kernel's FB_ROWS feedback block == feedback_update on the same
+    final state (what the carry_feedback rollout substitutes for the
+    XLA feedback pass)."""
+    loop, params = _mid_walk_state()
+    sim_ref, cs_ref = _xla_substeps(loop, params, 2)
+
+    cs = loop.controller
+    thresh = (params.foot_sensor_min + params.foot_sensor_ratio
+              * (params.foot_sensor_max - params.foot_sensor_min))
+    out = substep_pallas.substep_chain_fused(
+        loop.sim.pos, loop.sim.quat, loop.sim.vel, loop.sim.omega,
+        loop.sim.q, loop.sim.dq, loop.sim.contact, loop.sim.anchor,
+        cs.ctrl.optimized_state, cs.ctrl.optimized_input,
+        cs.ctrl.movement_mode, params.mass, params.mu, params.kp_foot,
+        params.kd_foot, params.trunk_inertia, params.rho_fix,
+        params.default_foot_pos, params.gait_counter_speed, thresh,
+        cs.ctrl.root_lin_vel_d_rel, substeps=2, dt=DT_LL,
+        interpret=True)
+    sim_out = srb_sim.SimState(
+        pos=out["pos"], quat=out["quat"], vel=out["vel"],
+        omega=out["omega"], q=out["q"], dq=out["dq"],
+        contact=out["contact"], anchor=out["anchor"],
+        last_acc=out["last_acc"])
+    got = step_mod.unpack_fused_feedback(cs, sim_out, out, params)
+
+    ref_fbk, got_fbk = cs_ref.fbk, got.fbk
+    for name, tol in (("root_euler", 1e-4), ("root_rot_mat", 1e-4),
+                      ("root_ang_vel", 5e-3), ("foot_pos_rel", 2e-3),
+                      ("foot_pos_abs", 2e-3), ("foot_pos_world", 2e-3),
+                      ("foot_vel_rel", 6e-2), ("foot_vel_world", 6e-2),
+                      ("jac_foot", 2e-3), ("foot_force_sensor", 0.5),
+                      ("foot_contact_flag", 0.05),
+                      ("foot_force_tau_est", 0.5),
+                      ("imu_acc", 5e-2), ("imu_ang_vel", 5e-3)):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got_fbk, name)),
+            np.asarray(getattr(ref_fbk, name)), atol=tol,
+            err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(got.ctrl.foot_pos_target_world),
+        np.asarray(cs_ref.ctrl.foot_pos_target_world), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(got.ctrl.foot_pos_target_abs),
+        np.asarray(cs_ref.ctrl.foot_pos_target_abs), atol=2e-3)

@@ -271,3 +271,18 @@ def test_go1_wbc_torque_level_stand():
     assert 0.26 < float(loop.sim.q[2]) < 0.30
     assert np.all(np.abs(np.asarray(loop.sim.q[3:6])) < 0.03)
     assert float(jnp.linalg.norm(loop.sim.v[:6])) < 0.1
+
+
+def test_standing_pace_holds():
+    """standing_pace (gait.info lateral pairs with all-stance dwells) held
+    3 s on the articulated dynamics: the only pace variant that is
+    laterally stabilizable with the trot-shaped Raibert planner — the
+    flight-phase `pace` is schedule-faithful (test_gait_info.py) but
+    rolls over in closed loop, matching its real-robot difficulty."""
+    params = _params()
+    loop, _, trace = _walk(_start(params), params,
+                           gait.named_pattern("standing_pace", DT), 300,
+                           velx=0.1)
+    assert np.all(trace[:, 1] > 0.18)                # never collapsed
+    assert np.max(np.abs(trace[:, 2])) < 0.3         # roll bounded
+    assert np.max(np.abs(trace[:, 3])) < 0.2         # pitch bounded
