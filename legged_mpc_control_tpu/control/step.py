@@ -360,8 +360,12 @@ def closed_loop_tick_wb_batched(loop: LoopState, params: RobotParams,
         cs = v_fb(cs, v_sensors(sim), params)
         return (cs, sim), None
 
+    # unroll only on TPU: the articulated substep body (autodiff M/nle per
+    # inner step) is enormous, and 8x-unrolling it inside a long rollout
+    # scan has crashed XLA:CPU's compiler in full-suite runs
     (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
-                                length=substeps, unroll=True)
+                                length=substeps,
+                                unroll=(backend == "pallas"))
     return LoopState(controller=cs, sim=sim), warm
 
 

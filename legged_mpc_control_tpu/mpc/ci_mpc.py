@@ -288,14 +288,30 @@ def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
                            terrain, wts, mu, rho, mass, inertia_w_inv, dt,
                            f_mask, wall)
 
+    # The stage Hessian is EXACTLY block-diagonal in (body | feet+inputs):
+    # the body dims (pos, eul, v, omega — zu[:12]) appear only in their
+    # diagonal tracking quadratics, while every complementarity/friction
+    # term reads feet positions, forces, and foot velocities (zu[12:]).
+    # So the 48x48 jax.hessian collapses to a 36-dim one plus an analytic
+    # diagonal — same matrix, ~(48/36)^2 less AD work (the dominant cost
+    # of a sweep).
+    n_body = 12
+    body_hdiag = 2.0 * jnp.concatenate(
+        [wts.q_pos, wts.q_eul, wts.q_vel, wts.q_omega])
+
     def quadratize(Z, Uh, rho):
         zu = jnp.concatenate([Z[:-1], Uh], axis=1)         # (H, NZ+NU)
 
         def one(zu_k, rz, ru, fm):
             c = lambda p: stage_c(p[:NZ], p[NZ:], rz, ru, fm, rho)
             g = jax.grad(c)(zu_k)
-            Hm = jax.hessian(c)(zu_k)
-            return g, 0.5 * (Hm + Hm.T)
+            c_rest = lambda r: c(jnp.concatenate([zu_k[:n_body], r]))
+            Hr = jax.hessian(c_rest)(zu_k[n_body:])
+            Hr = 0.5 * (Hr + Hr.T)
+            Hm = jnp.zeros((NZ + NU, NZ + NU), dtype)
+            Hm = Hm.at[:n_body, :n_body].set(jnp.diag(body_hdiag))
+            Hm = Hm.at[n_body:, n_body:].set(Hr)
+            return g, Hm
         g, Hm = jax.vmap(one)(zu, refs_z[:-1], refs_u, f_mask)
         return g, Hm
 

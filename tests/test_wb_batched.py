@@ -62,14 +62,14 @@ def test_wb_batched_domain_randomized_trot():
     loop = runner.init_wb_loop_batch(params, MODEL, batch,
                                      jax.random.PRNGKey(1), dtype=DT)
     roll = jax.jit(runner.make_batched_rollout_wb(
-        pattern, MODEL, horizon=10, n_ticks=130, pdip_iters=10,
+        pattern, MODEL, horizon=10, n_ticks=90, pdip_iters=10,
         walk_velx=0.2, solver="riccati", backend="xla", stand_ticks=30))
     final, (pos, vel) = roll(loop, params_b)
     z = np.asarray(final.sim.q[:, 2])
     x = np.asarray(final.sim.q[:, 0])
     rp = np.asarray(final.sim.q[:, 4:6])
     assert np.all(z > 0.2) and np.all(z < 0.35), z
-    assert np.all(x > 0.05), x                       # ~1 s at 0.2 m/s
+    assert np.all(x > 0.035), x                      # 0.6 s at 0.2 m/s
     assert np.abs(rp).max() < 0.3, rp
     # trajectory never collapsed either
     assert np.asarray(pos)[:, :, 2].min() > 0.15
