@@ -216,29 +216,420 @@ def ci_stage_cost(z, u, ref_z, ref_u, terrain, wts: CiWeights, mu, rho,
     return track + comp
 
 
-def _rollout(z0, U, mass, inertia_w_inv, dt):
+# ---------------------------------------------------------------------------
+# Batch-native Gauss-Newton iLQR core
+#
+# Everything below is written batch-FIRST: z0 (B, NZ), U (B, H, NU), and
+# every inner operation is an explicitly batched einsum / elementwise op, so
+# one compilation serves both the B=1 product tick and the scenario-sweep
+# batch (the reference runs one robot, main.cpp:130-163; the sweep batch is
+# this framework's scaling surface). Three structural rewrites vs a naive
+# vmap of a solo solver — the same playbook that made the convex path fast
+# (ops/riccati_pallas.py, ops/chol_pallas.py):
+#   * analytic dynamics Jacobians (`_dyn_jac_b`) — the SRB+feet model's
+#     Fz/Fu are a handful of constant and skew blocks; no AD over the
+#     dynamics at all;
+#   * per-foot Gauss-Newton quadratization (`_quad_ggn_b`) — the stage
+#     cost is diagonal tracking plus per-foot complementarity residuals in
+#     9 variables (foot pos, force, foot vel), so the 48x48 stage Hessian
+#     is J^T W J of a (6,9) per-foot residual Jacobian (9 JVPs) plus a
+#     diagonal, instead of a 36-dim jax.hessian (36 HVPs). Gradients stay
+#     EXACT (the cost is exactly sum_i W_i r_i^2); only the Hessian drops
+#     the residual-curvature term — the textbook Gauss-Newton step, PSD by
+#     construction, so the gain solve is a guaranteed-valid Cholesky;
+#   * batched Cholesky gain solves (`_psd_solve_b`) — batch-in-lanes
+#     Pallas kernels on TPU (ops/chol_pallas.py), XLA Cholesky elsewhere —
+#     replacing jnp.linalg.solve's batched LU (pivoting + row gathers that
+#     lower catastrophically on TPU).
+# ---------------------------------------------------------------------------
+
+
+def _skew_b(v):
+    """(..., 3) -> (..., 3, 3) cross-product matrices."""
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack([
+        jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+        jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+        jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
+
+def _dyn_b(z, uh, mass, Iw_inv, dt, s_f=1.0):
+    """Batched smooth SRB+feet step. z (..., NZ), uh (..., NU) with force
+    channels in units of `s_f` N, Iw_inv (..., 3, 3) world-frame inverse
+    trunk inertia. Identical math to `ci_dynamics`."""
+    dtype = z.dtype
+    lead = z.shape[:-1]
+    pos, v, om = z[..., 0:3], z[..., 6:9], z[..., 9:12]
+    feet = z[..., 12:24].reshape(lead + (4, 3))
+    f = s_f * uh[..., 0:12].reshape(lead + (4, 3))
+    w = uh[..., 12:24].reshape(lead + (4, 3))
+    acc = jnp.sum(f, axis=-2) / mass + jnp.array([0.0, 0.0, -GRAV], dtype)
+    tau = jnp.sum(jnp.cross(feet - pos[..., None, :], f), axis=-2)
+    return jnp.concatenate([
+        pos + dt * v,
+        z[..., 3:6] + dt * om,
+        v + dt * acc,
+        om + dt * jnp.einsum("...ij,...j->...i", Iw_inv, tau),
+        (feet + dt * w).reshape(lead + (12,))], axis=-1)
+
+
+def _rollout_b(z0, U, mass, Iw_inv, dt, s_f=1.0):
+    """z0 (B, NZ), U (B, H, NU) -> Z (B, H+1, NZ)."""
     def step(z, u):
-        z2 = ci_dynamics(z, u, mass, inertia_w_inv, dt)
+        z2 = _dyn_b(z, u, mass, Iw_inv, dt, s_f)
         return z2, z2
-    _, Z1 = jax.lax.scan(step, z0, U)
-    return jnp.concatenate([z0[None], Z1], axis=0)        # (H+1, NZ)
+    _, Z1 = jax.lax.scan(step, z0, jnp.swapaxes(U, 0, 1))
+    return jnp.concatenate([z0[:, None], jnp.swapaxes(Z1, 0, 1)], axis=1)
 
 
-def _total_cost(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
-                inertia_w_inv, dt, f_mask=None, wall=None):
-    Z = _rollout(z0, U, mass, inertia_w_inv, dt)
+def _total_cost_b(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
+                  Iw_inv, dt, f_mask, wall=None):
+    """Batched exact total cost. U UNSCALED (B, H, NU); rho (B,).
+    Returns (B,) and the rolled-out Z as a pair."""
+    Z = _rollout_b(z0, U, mass, Iw_inv, dt)
+    stage = jax.vmap(jax.vmap(
+        lambda z, u, rz, ru, fm, rh: ci_stage_cost(
+            z, u, rz, ru, terrain, wts, mu, rh, fm, wall),
+        in_axes=(0, 0, 0, 0, 0, None)),
+        in_axes=(0, 0, 0, 0, 0, 0))(
+        Z[:, :-1], U, refs_z[:, :-1], refs_u, f_mask, rho)
+    zT, rT = Z[:, -1], refs_z[:, -1]
+    term = (jnp.sum(wts.q_pos * (zT[:, 0:3] - rT[:, 0:3]) ** 2, -1)
+            + jnp.sum(wts.q_eul * (zT[:, 3:6] - rT[:, 3:6]) ** 2, -1)
+            + jnp.sum(wts.q_vel * (zT[:, 6:9] - rT[:, 6:9]) ** 2, -1))
+    return jnp.sum(stage, axis=1) + term, Z
+
+
+def _dyn_jac_b(Zs, Uh, mass, Iw_inv, dt, s_f):
+    """Analytic per-stage Jacobians of `_dyn_b` in scaled input coords.
+    Zs (B, H, NZ) stage states, Uh (B, H, NU). Returns Fz, Fu
+    (B, H, NZ, NZ) / (B, H, NZ, NU).
+
+    Nonzero structure (z = [pos eul v om feet], u = [f w]):
+      pos<-v, eul<-om, feet<-w : dt*I           (constant)
+      v<-f                     : dt*s_f/m * I   (constant)
+      om<-pos   : +dt*Iw_inv @ sum_i skew(f_i)
+      om<-feet_i: -dt*Iw_inv @ skew(f_i)
+      om<-f_i   : +dt*s_f*Iw_inv @ skew(feet_i - pos)
+    """
+    B, H = Zs.shape[0], Zs.shape[1]
+    dtype = Zs.dtype
+    f = s_f * Uh[..., 0:12].reshape(B, H, 4, 3)
+    r = Zs[..., 12:24].reshape(B, H, 4, 3) - Zs[..., None, 0:3]
+    sk_f = _skew_b(f)                                     # (B,H,4,3,3)
+    I3 = jnp.eye(3, dtype=dtype)
+
+    Fz = jnp.broadcast_to(jnp.eye(NZ, dtype=dtype), (B, H, NZ, NZ))
+    Fz = Fz.at[..., 0:3, 6:9].add(dt * I3)
+    Fz = Fz.at[..., 3:6, 9:12].add(dt * I3)
+    Fz = Fz.at[..., 9:12, 0:3].add(
+        dt * jnp.einsum("bij,bhjk->bhik", Iw_inv, jnp.sum(sk_f, axis=2)))
+    fblk = -dt * jnp.einsum("bij,bhfjk->bhfik", Iw_inv, sk_f)
+    for i in range(4):
+        Fz = Fz.at[..., 9:12, 12 + 3 * i:15 + 3 * i].add(fblk[:, :, i])
+
+    Fu = jnp.zeros((B, H, NZ, NU), dtype)
+    ublk = (dt * s_f) * jnp.einsum("bij,bhfjk->bhfik", Iw_inv, _skew_b(r))
+    for i in range(4):
+        Fu = Fu.at[..., 6:9, 3 * i:3 * i + 3].add((dt * s_f / mass) * I3)
+        Fu = Fu.at[..., 9:12, 3 * i:3 * i + 3].add(ublk[:, :, i])
+    Fu = Fu.at[..., 12:24, 12:24].add(dt * jnp.eye(12, dtype=dtype))
+    return Fz, Fu
+
+
+def _foot_res(zeta, fm, rho, terrain, wall, mu, s_f):
+    """Per-foot complementarity residual vector r (8,) in the per-foot
+    variables zeta = [foot_pos(3), f_hat(3), w(3)] (force scaled by s_f).
+    The stage cost's non-tracking part is EXACTLY sum_i W_i r_i^2 with the
+    weights from `_foot_res_weights` — same terms as `ci_stage_cost`.
+
+    The last two rows are NOT residuals: they carry the scaled normal
+    force `a` and scaled gap `b` (weight 0), so one jacfwd of this
+    function also yields grad(a)/grad(b) — the directions the
+    Fischer-Burmeister curvature restoration in `_quad_ggn_b` needs."""
+    p, fh, wh = zeta[0:3], zeta[3:6], zeta[6:9]
+    f = s_f * fh
+    if wall is None:
+        a = f[2] / F0
+        b = (p[2] - terrain_mod.height_at(terrain, p[0:2])) / G0
+        sq = jnp.sqrt(_sp(a, rho) + 1e-12)
+        return jnp.stack([
+            _fb(a, b, rho),
+            sq * wh[0], sq * wh[1],
+            _sp((jnp.abs(f[0]) - mu * f[2]) / F0, rho),
+            _sp((jnp.abs(f[1]) - mu * f[2]) / F0, rho),
+            (1.0 - fm) * a,
+            a, b])
+    gap, n = env_gap_normal(terrain, wall, p)
+    fn = jnp.dot(f, n)
+    ft = f - fn * n
+    wt = wh - jnp.dot(wh, n) * n
+    a = fn / F0
+    b = gap / G0
+    ft_mag = jnp.sqrt(jnp.dot(ft, ft) + 1e-8)
+    sq = jnp.sqrt(_sp(a, rho) + 1e-12)
+    return jnp.stack([
+        _fb(a, b, rho),
+        sq * wt[0], sq * wt[1], sq * wt[2],
+        _sp((ft_mag - mu * fn) / F0, rho),
+        (1.0 - fm) * a,
+        a, b])
+
+
+def _foot_res_weights(wts: CiWeights, wall):
+    zero = jnp.zeros_like(wts.c_fb)
+    if wall is None:
+        return jnp.stack([wts.c_fb, wts.c_slip, wts.c_slip,
+                          wts.c_cone, wts.c_cone, wts.c_mask,
+                          zero, zero])
+    return jnp.stack([wts.c_fb, wts.c_slip, wts.c_slip, wts.c_slip,
+                      wts.c_cone, wts.c_mask, zero, zero])
+
+
+# per-foot variable positions inside the 48-dim stage vector zu = [z; uh]
+_FOOT_IDX = jnp.asarray(
+    [[12 + 3 * i, 13 + 3 * i, 14 + 3 * i,
+      24 + 3 * i, 25 + 3 * i, 26 + 3 * i,
+      36 + 3 * i, 37 + 3 * i, 38 + 3 * i] for i in range(4)],
+    dtype=jnp.int32)                                      # (4, 9)
+
+
+def _quad_ggn_b(Zs, Uh, refs_z, refs_u, f_mask, terrain, wall, wts, mu,
+                rho, s_f):
+    """Per-stage gradient (exact) and Gauss-Newton Hessian (PSD) of the
+    stage cost in scaled coordinates. Zs (B,H,NZ), Uh (B,H,NU), rho (B,).
+    Returns g (B,H,48), Hm (B,H,48,48)."""
+    B, H = Uh.shape[0], Uh.shape[1]
+    dtype = Uh.dtype
+    feet = Zs[..., 12:24].reshape(B, H, 4, 3)
+    fh = Uh[..., 0:12].reshape(B, H, 4, 3)
+    wh = Uh[..., 12:24].reshape(B, H, 4, 3)
+    zeta = jnp.concatenate([feet, fh, wh], axis=-1)       # (B,H,4,9)
+
+    res = lambda ze, fm, rh: _foot_res(ze, fm, rh, terrain, wall, mu, s_f)
+    both = lambda ze, fm, rh: (res(ze, fm, rh),
+                               jax.jacfwd(res)(ze, fm, rh))
+    r, J = jax.vmap(jax.vmap(jax.vmap(
+        both, in_axes=(0, 0, None)), in_axes=(0, 0, None)),
+        in_axes=(0, 0, 0))(zeta, f_mask, rho)   # (B,H,4,8), (B,H,4,8,9)
+
+    # scatter per-foot Jacobians into 48-dim stage coordinates
+    E = jax.nn.one_hot(_FOOT_IDX, NZ + NU, dtype=dtype)   # (4,9,48)
+    J48f = jnp.einsum("bhfrn,fna->bhfra", J, E)           # (B,H,4,8,48)
+    nres = r.shape[-1]
+    J48 = J48f.reshape(B, H, 4 * nres, NZ + NU)
+    Wv = jnp.tile(_foot_res_weights(wts, wall).astype(dtype), 4)
+    r_all = r.reshape(B, H, 4 * nres)
+    Hm = 2.0 * jnp.einsum("bhra,r,bhrc->bhac", J48, Wv, J48)
+    g = 2.0 * jnp.einsum("bhra,bhr->bha", J48, Wv * r_all)
+
+    # Fischer-Burmeister curvature restoration (violation side only).
+    # Gauss-Newton drops the 2*c_fb*r*hess(r) term of the FB penalty; on
+    # the r<0 side (force at distance / penetration) that term is PSD and
+    # carries the stiffness that makes the optimizer respect a terrain
+    # riser it is about to penetrate (without it the closed-loop box
+    # climb stalls at the edge). hess_{ab}(FB) = (vv^T - s^2 I)/s^3 with
+    # v = (a, b), s = sqrt(a^2 + b^2 + rho^2); chain through the exact
+    # grad(a)/grad(b) rows the residual Jacobian already carries.
+    a_v = r[..., nres - 2]
+    b_v = r[..., nres - 1]
+    s_v = jnp.sqrt(a_v * a_v + b_v * b_v
+                   + (rho[:, None, None] ** 2))           # (B,H,4)
+    m_v = 2.0 * wts.c_fb * jnp.minimum(r[..., 0], 0.0) / (s_v ** 3)
+    Ja = J48f[..., nres - 2, :]                           # (B,H,4,48)
+    Jb = J48f[..., nres - 1, :]
+    c_aa = m_v * (a_v * a_v - s_v * s_v)
+    c_bb = m_v * (b_v * b_v - s_v * s_v)
+    c_ab = m_v * (a_v * b_v)
+    Hm = Hm + (jnp.einsum("bhf,bhfa,bhfc->bhac", c_aa, Ja, Ja)
+               + jnp.einsum("bhf,bhfa,bhfc->bhac", c_bb, Jb, Jb)
+               + jnp.einsum("bhf,bhfa,bhfc->bhac", c_ab, Ja, Jb)
+               + jnp.einsum("bhf,bhfa,bhfc->bhac", c_ab, Jb, Ja))
+
+    # diagonal tracking terms (exact — the quadratics ARE their Hessian)
+    track_h = 2.0 * jnp.concatenate([
+        wts.q_pos, wts.q_eul, wts.q_vel, wts.q_omega,
+        jnp.tile(wts.q_foot, 4),
+        jnp.full((12,), wts.r_f * s_f * s_f, dtype),
+        jnp.full((12,), wts.r_w, dtype)]).astype(dtype)
+    zu = jnp.concatenate([Zs, Uh], axis=-1)
+    ref_zu = jnp.concatenate([refs_z[:, :-1], refs_u[..., 0:12] / s_f,
+                              refs_u[..., 12:24]], axis=-1)
+    g = g + track_h * (zu - ref_zu)
+    Hm = Hm + jnp.diag(track_h)
+    return g, Hm
+
+
+def _psd_solve_b(A, rhs, backend):
+    """Batched SPD solve: A (B,n,n), rhs (B,n,m) -> A^{-1} rhs.
+    backend 'pallas' routes through the batch-in-lanes Cholesky kernels
+    (ops/chol_pallas.py); 'xla' uses the library Cholesky (CPU/f64)."""
+    if backend == "pallas":
+        from legged_mpc_control_tpu.ops import chol_pallas
+        Lt = chol_pallas.cholesky_lanes(jnp.transpose(A, (1, 2, 0)))
+        Xt = chol_pallas.cho_solve_lanes_multi(
+            Lt, jnp.transpose(rhs, (1, 2, 0)))
+        return jnp.transpose(Xt, (2, 0, 1))
+    L = jnp.linalg.cholesky(A)
+    return jax.scipy.linalg.cho_solve((L, True), rhs)
+
+
+@partial(jax.jit, static_argnames=("iters", "dt", "backend"))
+def ci_solve_batched(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
+                     mu, wts: CiWeights = None, f_mask=None, *, iters=16,
+                     dt=0.02, rho0=0.5, rho_min=0.05, reg=1e-2,
+                     state_reg=1e-1, f_scale=F0, wall=None, backend=None):
+    """Batch-native Gauss-Newton iLQR with an annealed complementarity
+    relaxation — ONE solve for a whole scenario batch.
+
+    Args:
+      z0: (B, NZ) current states. U0: (B, H, NU) input warm starts.
+      refs_z: (B, H+1, NZ) templates, refs_u: (B, H, NU).
+      terrain: sim.terrain.Terrain, SHARED across the batch.
+      mass, mu: scalars (shared). inertia_w: (B, 3, 3) world-frame at each
+        scenario's yaw.
+      f_mask: optional (B, H, 4).
+      rho0: scalar or (B,) initial relaxation — per-scenario, so a
+        warm-started scenario can skip the loose end of the anneal
+        (cross-tick warm carry, make_ci_walk_policy).
+      iters: fixed sweep count (anneal rho0 -> rho_min geometrically).
+      backend: 'pallas' (TPU batch-in-lanes Cholesky) / 'xla'; default by
+        platform.
+
+    Conditioning (f32 / TPU): force channels are optimized in units of
+    `f_scale` N so every control is O(1), and the gain solve uses
+    state-space (Levenberg) regularization Quu + mu_x Fu'Fu — without
+    both, the Riccati backward pass explodes through the strong
+    feet->torque->attitude coupling and the tiny r_f curvature.
+
+    Returns (U (B,H,NU), Z (B,H+1,NZ), cost (B,)) at the tightest
+    relaxation.
+    """
+    if backend is None:
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    dtype = z0.dtype
+    B, H = U0.shape[0], U0.shape[1]
+    if wts is None:
+        wts = default_weights(dtype)
     if f_mask is None:
-        f_mask = jnp.ones((U.shape[0], 4), U.dtype)
-    stage = jax.vmap(
-        lambda z, u, rz, ru, fm: ci_stage_cost(z, u, rz, ru, terrain, wts,
-                                               mu, rho, fm, wall)
-    )(Z[:-1], U, refs_z[:-1], refs_u, f_mask)
-    # terminal: body+foot tracking only
-    zT, rT = Z[-1], refs_z[-1]
-    term = (jnp.sum(wts.q_pos * (zT[0:3] - rT[0:3]) ** 2)
-            + jnp.sum(wts.q_eul * (zT[3:6] - rT[3:6]) ** 2)
-            + jnp.sum(wts.q_vel * (zT[6:9] - rT[6:9]) ** 2))
-    return jnp.sum(stage) + term
+        f_mask = jnp.ones((B, H, 4), dtype)
+    Iw_inv = jnp.linalg.inv(inertia_w)                     # (B,3,3)
+    alphas = jnp.array([1.0, 0.5, 0.25, 0.05], dtype)
+    s_u = jnp.concatenate([jnp.full((12,), f_scale, dtype),
+                           jnp.ones((12,), dtype)])        # u = s_u * uh
+    rho0 = jnp.broadcast_to(jnp.asarray(rho0, dtype), (B,))
+    eyeU = jnp.eye(NU, dtype=dtype)
+    hT = 2.0 * jnp.concatenate([
+        wts.q_pos, wts.q_eul, wts.q_vel,
+        jnp.zeros((15,), dtype)]).astype(dtype)            # terminal diag
+
+    def backward(Z, Uh, rho):
+        Zs = Z[:, :-1]
+        Fz, Fu = _dyn_jac_b(Zs, Uh, mass, Iw_inv, dt, f_scale)
+        g, Hm = _quad_ggn_b(Zs, Uh, refs_z, refs_u, f_mask, terrain,
+                            wall, wts, mu, rho, f_scale)
+        Vx = hT * (Z[:, -1] - refs_z[:, -1])
+        Vxx = jnp.broadcast_to(jnp.diag(hT), (B, NZ, NZ))
+
+        def bstep(carry, inp):
+            Vx, Vxx = carry
+            fz, fu, gk, hk = inp
+            fzT = jnp.swapaxes(fz, -1, -2)
+            fuT = jnp.swapaxes(fu, -1, -2)
+            VxxFz = jnp.einsum("bij,bjk->bik", Vxx, fz)
+            VxxFu = jnp.einsum("bij,bjk->bik", Vxx, fu)
+            Qx = gk[:, :NZ] + jnp.einsum("bji,bj->bi", fz, Vx)
+            Qu = gk[:, NZ:] + jnp.einsum("bji,bj->bi", fu, Vx)
+            Qxx = hk[:, :NZ, :NZ] + jnp.einsum("bij,bjk->bik", fzT, VxxFz)
+            Quu = hk[:, NZ:, NZ:] + jnp.einsum("bij,bjk->bik", fuT, VxxFu)
+            Qux = hk[:, NZ:, :NZ] + jnp.einsum("bij,bjk->bik", fuT, VxxFz)
+            # Levenberg state-space regularization (Tassa'12): gains from
+            # the mu_x-damped system; value update keeps the canonical
+            # (unregularized) form. Tames the feet->attitude coupling.
+            Quu_r = Quu + reg * eyeU + state_reg * jnp.einsum(
+                "bij,bjk->bik", fuT, fu)
+            Qux_r = Qux + state_reg * jnp.einsum("bij,bjk->bik", fuT, fz)
+            sol = _psd_solve_b(
+                Quu_r, jnp.concatenate([Qu[:, :, None], Qux_r], axis=2),
+                backend)
+            kff = -sol[:, :, 0]
+            K = -sol[:, :, 1:]
+            # non-finite stage guard (per scenario): zero that stage's
+            # correction rather than poisoning the whole sweep (line
+            # search still vets cost)
+            okk = (jnp.all(jnp.isfinite(kff), axis=-1)
+                   & jnp.all(jnp.isfinite(K), axis=(-2, -1)))
+            kff = jnp.where(okk[:, None], kff, 0.0)
+            K = jnp.where(okk[:, None, None], K, 0.0)
+            KT = jnp.swapaxes(K, -1, -2)
+            QuxT = jnp.swapaxes(Qux, -1, -2)
+            KtQuu = jnp.einsum("bij,bjk->bik", KT, Quu)
+            Vx2 = (Qx + jnp.einsum("bij,bj->bi", KtQuu, kff)
+                   + jnp.einsum("bij,bj->bi", KT, Qu)
+                   + jnp.einsum("bij,bj->bi", QuxT, kff))
+            Vxx2 = (Qxx + jnp.einsum("bij,bjk->bik", KtQuu, K)
+                    + jnp.einsum("bij,bjk->bik", KT, Qux)
+                    + jnp.einsum("bij,bjk->bik", QuxT, K))
+            Vxx2 = 0.5 * (Vxx2 + jnp.swapaxes(Vxx2, -1, -2))
+            okv = (jnp.all(jnp.isfinite(Vx2), axis=-1)
+                   & jnp.all(jnp.isfinite(Vxx2), axis=(-2, -1)))
+            Vx2 = jnp.where(okv[:, None], Vx2, Vx)
+            Vxx2 = jnp.where(okv[:, None, None], Vxx2, Vxx)
+            return (Vx2, Vxx2), (kff, K)
+
+        stagewise = lambda x: jnp.swapaxes(x, 0, 1)        # (H,B,...)
+        _, (kff, K) = jax.lax.scan(
+            bstep, (Vx, Vxx),
+            (stagewise(Fz), stagewise(Fu), stagewise(g), stagewise(Hm)),
+            reverse=True)
+        return stagewise(kff), stagewise(K)                # (B,H,...)
+
+    def forward(Z, Uh, kff, K, alpha):
+        def fstep(z, inp):
+            zn, un, kf, Kk = inp
+            u = un + alpha * kf + jnp.einsum("bij,bj->bi", Kk, z - zn)
+            z2 = _dyn_b(z, u, mass, Iw_inv, dt, f_scale)
+            return z2, (u, z2)
+        stagewise = lambda x: jnp.swapaxes(x, 0, 1)
+        _, (U2, Z1) = jax.lax.scan(
+            fstep, Z[:, 0],
+            (stagewise(Z[:, :-1]), stagewise(Uh), stagewise(kff),
+             stagewise(K)))
+        return (stagewise(U2),
+                jnp.concatenate([Z[:, 0:1], stagewise(Z1)], axis=1))
+
+    def total_c(z0_, Uh, rho):
+        c, _ = _total_cost_b(z0_, s_u * Uh, refs_z, refs_u, terrain, wts,
+                             mu, rho, mass, Iw_inv, dt, f_mask, wall)
+        return c
+
+    def sweep(carry, it):
+        Uh, Z = carry
+        frac = it / (iters - 1.0) if iters > 1 else 1.0
+        rho = jnp.maximum(rho0 * (rho_min / rho0) ** frac,
+                          rho_min).astype(dtype)           # (B,)
+        kff, K = backward(Z, Uh, rho)
+
+        def try_alpha(alpha):
+            U2, Z2 = forward(Z, Uh, kff, K, alpha)
+            c = total_c(Z[:, 0], U2, rho)
+            return U2, Z2, jnp.where(jnp.isfinite(c), c, jnp.inf)
+        U2s, Z2s, cs = jax.vmap(try_alpha)(alphas)         # (A,B,...)
+        c0 = total_c(Z[:, 0], Uh, rho)
+        best = jnp.argmin(cs, axis=0)                      # (B,)
+        cbest = jnp.take_along_axis(cs, best[None, :], 0)[0]
+        Ub = jnp.take_along_axis(U2s, best[None, :, None, None], 0)[0]
+        Zb = jnp.take_along_axis(Z2s, best[None, :, None, None], 0)[0]
+        improved = cbest < c0
+        U_new = jnp.where(improved[:, None, None], Ub, Uh)
+        Z_new = jnp.where(improved[:, None, None], Zb, Z)
+        return (U_new, Z_new), jnp.minimum(cbest, c0)
+
+    Uh0 = U0 / s_u
+    Z0 = _rollout_b(z0, U0, mass, Iw_inv, dt)
+    (Uh, Z), costs = jax.lax.scan(sweep, (Uh0, Z0),
+                                  jnp.arange(iters, dtype=dtype))
+    return s_u * Uh, Z, costs[-1]
 
 
 @partial(jax.jit, static_argnames=("iters", "dt"))
@@ -246,7 +637,9 @@ def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
              mu, wts: CiWeights = None, f_mask=None, *, iters=16, dt=0.02,
              rho0=0.5, rho_min=0.05, reg=1e-2, state_reg=1e-1,
              f_scale=F0, wall=None):
-    """Gauss-Newton iLQR with an annealed complementarity relaxation.
+    """Single-scenario Gauss-Newton iLQR — the B=1 view of
+    `ci_solve_batched` (see there for the algorithm and conditioning
+    notes).
 
     Args:
       z0: (NZ,) current state. U0: (H, NU) input warm start.
@@ -255,144 +648,15 @@ def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
       mass, inertia_w: SRB params (inertia world-frame at current yaw).
       iters: fixed sweep count (anneal rho0 -> rho_min geometrically).
 
-    Conditioning (f32 / TPU): force channels are optimized in units of
-    `f_scale` N so every control is O(1), and the gain solve uses
-    state-space (Levenberg) regularization Quu + mu_x Fu'Fu — without
-    both, the Riccati backward pass explodes through the strong
-    feet->torque->attitude coupling and the tiny r_f curvature.
-
     Returns (U (H,NU), Z (H+1,NZ), cost) at the tightest relaxation.
-    Batch with vmap over (z0, U0, refs_*, terrain leaves).
     """
-    if wts is None:
-        wts = default_weights(z0.dtype)
-    dtype = z0.dtype
-    H = U0.shape[0]
-    if f_mask is None:
-        f_mask = jnp.ones((H, 4), dtype)
-    inertia_w_inv = jnp.linalg.inv(inertia_w)
-    alphas = jnp.array([1.0, 0.5, 0.25, 0.05], dtype)
-    s_u = jnp.concatenate([jnp.full((12,), f_scale, dtype),
-                           jnp.ones((12,), dtype)])        # u = s_u * uh
-
-    dyn = lambda z, uh: ci_dynamics(z, s_u * uh, mass, inertia_w_inv, dt)
-    Fz_fn = jax.vmap(jax.jacfwd(dyn, argnums=0))
-    Fu_fn = jax.vmap(jax.jacfwd(dyn, argnums=1))
-
-    def stage_c(z, uh, rz, ru, fm, rho):
-        return ci_stage_cost(z, s_u * uh, rz, ru, terrain, wts, mu, rho,
-                             fm, wall)
-
-    def total_c(z0_, Uh, rho):
-        return _total_cost(z0_, s_u[None, :] * Uh, refs_z, refs_u,
-                           terrain, wts, mu, rho, mass, inertia_w_inv, dt,
-                           f_mask, wall)
-
-    # The stage Hessian is EXACTLY block-diagonal in (body | feet+inputs):
-    # the body dims (pos, eul, v, omega — zu[:12]) appear only in their
-    # diagonal tracking quadratics, while every complementarity/friction
-    # term reads feet positions, forces, and foot velocities (zu[12:]).
-    # So the 48x48 jax.hessian collapses to a 36-dim one plus an analytic
-    # diagonal — same matrix, ~(48/36)^2 less AD work (the dominant cost
-    # of a sweep).
-    n_body = 12
-    body_hdiag = 2.0 * jnp.concatenate(
-        [wts.q_pos, wts.q_eul, wts.q_vel, wts.q_omega])
-
-    def quadratize(Z, Uh, rho):
-        zu = jnp.concatenate([Z[:-1], Uh], axis=1)         # (H, NZ+NU)
-
-        def one(zu_k, rz, ru, fm):
-            c = lambda p: stage_c(p[:NZ], p[NZ:], rz, ru, fm, rho)
-            g = jax.grad(c)(zu_k)
-            c_rest = lambda r: c(jnp.concatenate([zu_k[:n_body], r]))
-            Hr = jax.hessian(c_rest)(zu_k[n_body:])
-            Hr = 0.5 * (Hr + Hr.T)
-            Hm = jnp.zeros((NZ + NU, NZ + NU), dtype)
-            Hm = Hm.at[:n_body, :n_body].set(jnp.diag(body_hdiag))
-            Hm = Hm.at[n_body:, n_body:].set(Hr)
-            return g, Hm
-        g, Hm = jax.vmap(one)(zu, refs_z[:-1], refs_u, f_mask)
-        return g, Hm
-
-    def term_grad_hess(zT):
-        def c(z):
-            return (jnp.sum(wts.q_pos * (z[0:3] - refs_z[-1, 0:3]) ** 2)
-                    + jnp.sum(wts.q_eul * (z[3:6] - refs_z[-1, 3:6]) ** 2)
-                    + jnp.sum(wts.q_vel * (z[6:9] - refs_z[-1, 6:9]) ** 2))
-        return jax.grad(c)(zT), jax.hessian(c)(zT)
-
-    eyeU = jnp.eye(NU, dtype=dtype)
-
-    def backward(Z, Uh, rho):
-        Fz = Fz_fn(Z[:-1], Uh)                             # (H,NZ,NZ)
-        Fu = Fu_fn(Z[:-1], Uh)                             # (H,NZ,NU)
-        g, Hm = quadratize(Z, Uh, rho)
-        Vx, Vxx = term_grad_hess(Z[-1])
-
-        def bstep(carry, inp):
-            Vx, Vxx = carry
-            fz, fu, gk, hk = inp
-            Qx = gk[:NZ] + fz.T @ Vx
-            Qu = gk[NZ:] + fu.T @ Vx
-            Qxx = hk[:NZ, :NZ] + fz.T @ Vxx @ fz
-            Quu = hk[NZ:, NZ:] + fu.T @ Vxx @ fu
-            Qux = hk[NZ:, :NZ] + fu.T @ Vxx @ fz
-            # Levenberg state-space regularization (Tassa'12): gains from
-            # the mu_x-damped system; value update keeps the canonical
-            # (unregularized) form. Tames the feet->attitude coupling.
-            Quu_r = Quu + reg * eyeU + state_reg * (fu.T @ fu)
-            Qux_r = Qux + state_reg * (fu.T @ fz)
-            kff = -jnp.linalg.solve(Quu_r, Qu)
-            K = -jnp.linalg.solve(Quu_r, Qux_r)
-            # non-finite stage guard: zero that stage's correction rather
-            # than poisoning the whole sweep (line search still vets cost)
-            okk = jnp.all(jnp.isfinite(kff)) & jnp.all(jnp.isfinite(K))
-            kff = jnp.where(okk, kff, 0.0)
-            K = jnp.where(okk, K, 0.0)
-            Vx2 = Qx + K.T @ Quu @ kff + K.T @ Qu + Qux.T @ kff
-            Vxx2 = Qxx + K.T @ Quu @ K + K.T @ Qux + Qux.T @ K
-            Vxx2 = 0.5 * (Vxx2 + Vxx2.T)
-            okv = jnp.all(jnp.isfinite(Vx2)) & jnp.all(jnp.isfinite(Vxx2))
-            Vx2 = jnp.where(okv, Vx2, Vx)
-            Vxx2 = jnp.where(okv, Vxx2, Vxx)
-            return (Vx2, Vxx2), (kff, K)
-        _, (kff, K) = jax.lax.scan(bstep, (Vx, Vxx), (Fz, Fu, g, Hm),
-                                   reverse=True)
-        return kff, K
-
-    def forward(Z, Uh, kff, K, alpha):
-        def fstep(z, inp):
-            zn, un, kf, Kk = inp
-            u = un + alpha * kf + Kk @ (z - zn)
-            z2 = dyn(z, u)
-            return z2, (u, z2)
-        _, (U2, Z1) = jax.lax.scan(fstep, Z[0], (Z[:-1], Uh, kff, K))
-        return U2, jnp.concatenate([Z[0][None], Z1], axis=0)
-
-    def sweep(carry, it):
-        Uh, Z = carry
-        rho = jnp.maximum(rho0 * (rho_min / rho0) ** (it / (iters - 1.0)),
-                          rho_min).astype(dtype)
-        kff, K = backward(Z, Uh, rho)
-
-        def try_alpha(alpha):
-            U2, Z2 = forward(Z, Uh, kff, K, alpha)
-            c = total_c(Z[0], U2, rho)
-            return U2, Z2, jnp.where(jnp.isfinite(c), c, jnp.inf)
-        U2s, Z2s, cs = jax.vmap(try_alpha)(alphas)
-        c0 = total_c(Z[0], Uh, rho)
-        best = jnp.argmin(cs)
-        improved = cs[best] < c0
-        U_new = jnp.where(improved, U2s[best], Uh)
-        Z_new = jnp.where(improved, Z2s[best], Z)
-        return (U_new, Z_new), jnp.minimum(cs[best], c0)
-
-    Uh0 = U0 / s_u[None, :]
-    Z0 = _rollout(z0, U0, mass, inertia_w_inv, dt)
-    (Uh, Z), costs = jax.lax.scan(sweep, (Uh0, Z0),
-                                  jnp.arange(iters, dtype=dtype))
-    return s_u[None, :] * Uh, Z, costs[-1]
+    fm = None if f_mask is None else f_mask[None]
+    U, Z, cost = ci_solve_batched(
+        z0[None], U0[None], refs_z[None], refs_u[None], terrain, mass,
+        inertia_w[None], mu, wts, fm, iters=iters, dt=dt, rho0=rho0,
+        rho_min=rho_min, reg=reg, state_reg=state_reg, f_scale=f_scale,
+        wall=wall)
+    return U[0], Z[0], cost[0]
 
 
 def make_ci_reference(z0, t, terrain, params, velx=0.2, body_height=0.3,
@@ -496,10 +760,83 @@ def make_ci_reference(z0, t, terrain, params, velx=0.2, body_height=0.3,
     return refs_z, refs_u, refs_u
 
 
+def _walk_prep(x, t, params, terrain, velx, body_height, gait_freq,
+               horizon, dt_plan, offsets, stance_frac):
+    """Unbatched per-scenario prep for the CI walk policy: state packing,
+    trot-template references, world-yaw inertia, measured-support stage-0
+    mask. Shared by the solo and the batched policy (vmapped there)."""
+    from legged_mpc_control_tpu.ops import so3
+
+    dtype = x.dtype
+    pos, eul = x[0:3], x[3:6]
+    foot_abs = x[6:18].reshape(4, 3)           # CoM-origin world axes
+    v, omega = x[18:21], x[21:24]
+    feet_w = foot_abs + pos[None, :]
+    z0 = jnp.concatenate([pos, eul, v, omega, feet_w.reshape(-1)])
+
+    refs_z, refs_u, U0 = make_ci_reference(
+        z0, t, terrain, params, velx=velx, body_height=body_height,
+        gait_freq=gait_freq, horizon=horizon, dt_plan=dt_plan,
+        offsets=offsets, stance_frac=stance_frac)
+    Rz = so3.rot_z(eul[2])
+    inertia_w = Rz @ params.trunk_inertia.astype(dtype) @ Rz.T
+    # stage 0 carries the MEASURED support: only feet that are down
+    # (position gap or registered force — the force estimate lags a
+    # touchdown by a tick) may push now; later stages plan freely
+    gap0 = feet_w[:, 2] - terrain_mod.height_at(terrain, feet_w[:, 0:2])
+    grounded_now = ((x[36:40] > 2.0) | (gap0 < 0.003)).astype(dtype)
+    f_mask = jnp.ones((horizon, 4), dtype).at[0].set(grounded_now)
+    return z0, refs_z, refs_u, U0, inertia_w, f_mask, grounded_now, feet_w
+
+
+def _walk_post(U, Z, refs_z, grounded_now, feet_w, terrain, fz_min):
+    """Unbatched per-scenario post-processing of a CI walk solve into the
+    (78,) seam output (support gating, touchdown press, swing targets —
+    see the inline rationale). Shared by the solo and batched policy."""
+    dtype = U.dtype
+    f0 = U[0, 0:12].reshape(4, 3)
+    loaded = (f0[:, 2] > fz_min).astype(dtype)
+    # execute force only through feet that BOTH the optimizer loads
+    # AND the hardware/sim actually reports grounded — commanding
+    # GRF through a foot millimetres in the air silently drops that
+    # support and random-walks the attitude. Feet the plan loads but
+    # that have not registered force yet get a bootstrap push so the
+    # contact can establish (same two rules as the distilled policy,
+    # mpc/lci_mpc.py make_walk_policy).
+    support = loaded * grounded_now
+    boot = (loaded * (1.0 - grounded_now))[:, None] \
+        * jnp.array([0.0, 0.0, 2.0 * jnp.maximum(fz_min, 5.0)],
+                    dtype)[None, :]
+    u = (f0 * support[:, None] + boot).reshape(-1)
+
+    # desired foot positions: the optimized path one planning step
+    # ahead (world frame, the seam's optimized_state foot slots).
+    # Execution fix-up around the contact boundary (the optimizer's
+    # own z respects gap >= 0 exactly, so a raw target leaves the
+    # foot hovering by the PD tracking error and contact flickers):
+    #   loaded + already grounded -> hold the current foot position;
+    #   loaded but still airborne -> aim 1 cm below the surface to
+    #   drive the touchdown through;
+    #   unloaded (swing)          -> the optimized arc as-is.
+    foot_tgt = Z[1, 12:24].reshape(4, 3)
+    g_tgt = terrain_mod.height_at(terrain, foot_tgt[:, 0:2])
+    press = foot_tgt.at[:, 2].set(g_tgt - 0.01)
+    stance_tgt = jnp.where(grounded_now[:, None] > 0.5, feet_w, press)
+    foot_tgt = jnp.where(loaded[:, None] > 0.5, stance_tgt, foot_tgt)
+
+    state_des = jnp.concatenate([refs_z[1, 0:3], refs_z[1, 3:6],
+                                 foot_tgt.reshape(-1)])
+    vel_des = jnp.concatenate([refs_z[1, 6:9], jnp.zeros(3, dtype),
+                               U[0, 12:24]])
+    return jnp.concatenate([u, state_des, vel_des, state_des,
+                            jnp.zeros(12, dtype)])
+
+
 def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
                         gait_freq=2.5, horizon=10, dt_plan=0.02,
                         iters=32, fz_min=2.0, wts: CiWeights = None,
-                        offsets=(0.0, 0.5, 0.5, 0.0), stance_frac=0.5):
+                        offsets=(0.0, 0.5, 0.5, 0.0), stance_frac=0.5,
+                        rho_warm=None):
     """The contact-implicit engine as a STATEFUL LciMpc-seam policy
     `(x40, t, warm) -> ((78,), warm')` (reference: LciMpc.cpp:95-139
     exec_policy contract; the warm slot rides LciState.policy_warm).
@@ -510,10 +847,13 @@ def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
     what destabilizes the gait. First-stage GRFs and the optimized foot
     path become the torque mapping / swing targets.
 
+    rho_warm: optional initial complementarity relaxation for
+    warm-started ticks (cold ticks keep rho0=0.5): a warm solution is
+    already near the tight-relaxation optimum, so skipping the loose end
+    of the anneal spends every sweep at relaxations that matter.
+
     Init the seam with `lci_init(dtype, policy_warm=policy.warm_init())`.
     """
-    from legged_mpc_control_tpu.ops import so3
-
     if terrain is None:
         terrain = terrain_mod.flat()
     if gait_freq is None:
@@ -521,87 +861,77 @@ def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
 
     def policy(x, t, warm):
         dtype = x.dtype
-        pos, eul = x[0:3], x[3:6]
-        foot_abs = x[6:18].reshape(4, 3)       # CoM-origin world axes
-        v, omega = x[18:21], x[21:24]
-        feet_w = foot_abs + pos[None, :]
-        z0 = jnp.concatenate([pos, eul, v, omega, feet_w.reshape(-1)])
-
-        refs_z, refs_u, U0 = make_ci_reference(
-            z0, t, terrain, params, velx=velx, body_height=body_height,
-            gait_freq=gait_freq, horizon=horizon, dt_plan=dt_plan,
-            offsets=offsets, stance_frac=stance_frac)
-        Rz = so3.rot_z(eul[2])
-        inertia_w = Rz @ params.trunk_inertia.astype(dtype) @ Rz.T
-        # stage 0 carries the MEASURED support: only feet that are down
-        # (position gap or registered force — the force estimate lags a
-        # touchdown by a tick) may push now; later stages plan freely
-        gap0 = feet_w[:, 2] - terrain_mod.height_at(terrain,
-                                                    feet_w[:, 0:2])
-        grounded_now = ((x[36:40] > 2.0) | (gap0 < 0.003)).astype(dtype)
-        f_mask = jnp.ones((horizon, 4), dtype).at[0].set(grounded_now)
+        (z0, refs_z, refs_u, U0, inertia_w, f_mask, grounded_now,
+         feet_w) = _walk_prep(x, t, params, terrain, velx, body_height,
+                              gait_freq, horizon, dt_plan, offsets,
+                              stance_frac)
         # cross-tick warm start: previous tick's trajectory (the state
         # advanced only one 10 ms tick, under one plan stage — no shift)
         U0 = jnp.where(warm["valid"] > 0.5, warm["u"], U0)
+        rho0 = (0.5 if rho_warm is None
+                else jnp.where(warm["valid"] > 0.5, rho_warm, 0.5))
         U, Z, _cost = ci_solve(
             z0, U0, refs_z, refs_u, terrain, params.mass.astype(dtype),
             inertia_w, params.mu.astype(dtype), wts, f_mask, iters=iters,
-            dt=dt_plan)
-
-        f0 = U[0, 0:12].reshape(4, 3)
-        loaded = (f0[:, 2] > fz_min).astype(dtype)
-        # execute force only through feet that BOTH the optimizer loads
-        # AND the hardware/sim actually reports grounded — commanding
-        # GRF through a foot millimetres in the air silently drops that
-        # support and random-walks the attitude. Feet the plan loads but
-        # that have not registered force yet get a bootstrap push so the
-        # contact can establish (same two rules as the distilled policy,
-        # mpc/lci_mpc.py make_walk_policy).
-        # grounded = physically at the surface (position gap) OR already
-        # carrying force: the foot-force estimate is quasi-static from
-        # the last commanded torques and lags a touchdown by a tick,
-        # which is exactly when support gating must not drop the foot
-        grounded0 = grounded_now
-        support = loaded * grounded0
-        boot = (loaded * (1.0 - grounded0))[:, None] \
-            * jnp.array([0.0, 0.0, 2.0 * jnp.maximum(fz_min, 5.0)],
-                        dtype)[None, :]
-        u = (f0 * support[:, None] + boot).reshape(-1)
-
-        # desired foot positions: the optimized path one planning step
-        # ahead (world frame, the seam's optimized_state foot slots).
-        # Execution fix-up around the contact boundary (the optimizer's
-        # own z respects gap >= 0 exactly, so a raw target leaves the
-        # foot hovering by the PD tracking error and contact flickers —
-        # the distilled policy handles it identically,
-        # mpc/lci_mpc.py make_walk_policy):
-        #   loaded + already grounded -> hold the current foot position;
-        #   loaded but still airborne -> aim 1 cm below the surface to
-        #   drive the touchdown through;
-        #   unloaded (swing)          -> the optimized arc as-is.
-        foot_tgt = Z[1, 12:24].reshape(4, 3)
-        g_tgt = terrain_mod.height_at(terrain, foot_tgt[:, 0:2])
-        press = foot_tgt.at[:, 2].set(g_tgt - 0.01)
-        stance_tgt = jnp.where(grounded0[:, None] > 0.5, feet_w, press)
-        foot_tgt = jnp.where(loaded[:, None] > 0.5, stance_tgt, foot_tgt)
-        pos_des = refs_z[1, 0:3]
-        eul_des = refs_z[1, 3:6]
-        v_d = refs_z[1, 6:9]
-
-        state_des = jnp.concatenate([pos_des, eul_des,
-                                     foot_tgt.reshape(-1)])
-        vel_des = jnp.concatenate([v_d, jnp.zeros(3, dtype),
-                                   U[0, 12:24]])
-        state_ref = state_des
-        vel_ref = jnp.zeros(12, dtype)
-        out = jnp.concatenate([u, state_des, vel_des, state_ref,
-                               vel_ref])
+            dt=dt_plan, rho0=rho0)
+        out = _walk_post(U, Z, refs_z, grounded_now, feet_w, terrain,
+                         fz_min)
         return out, {"u": U, "valid": jnp.ones((), dtype)}
 
     policy.ci_stateful = True
     policy.warm_init = lambda dtype=jnp.float32: {
         "u": jnp.zeros((horizon, NU), dtype),
         "valid": jnp.zeros((), dtype)}
+    return policy
+
+
+def make_ci_walk_policy_batched(params, terrain=None, velx=0.1,
+                                body_height=0.3, gait_freq=2.5,
+                                horizon=10, dt_plan=0.02, iters=24,
+                                fz_min=2.0, wts: CiWeights = None,
+                                offsets=(0.0, 0.5, 0.5, 0.0),
+                                stance_frac=0.5, rho_warm=0.15,
+                                backend=None):
+    """Batch-native CI walk policy `(x (B,40), t, warm) -> ((B,78),
+    warm')`: the per-scenario prep/post (`_walk_prep`/`_walk_post`) are
+    vmapped, but the optimizer itself is ONE `ci_solve_batched` call —
+    batch-in-lanes Cholesky gain solves, analytic Jacobians, per-foot
+    Gauss-Newton quadratization — instead of a vmap of the solo solver.
+    Plugs into `lci_mpc.lci_mpc_tick_batched` /
+    `control.step.closed_loop_tick_lci_batched`.
+
+    warm slot: {"u": (B, H, NU), "valid": (B,)}.
+    """
+    if terrain is None:
+        terrain = terrain_mod.flat()
+    if gait_freq is None:
+        gait_freq = float(params.gait_counter_speed)
+
+    def policy(x, t, warm):
+        dtype = x.dtype
+        prep = jax.vmap(lambda xx: _walk_prep(
+            xx, t, params, terrain, velx, body_height, gait_freq,
+            horizon, dt_plan, offsets, stance_frac))
+        (z0, refs_z, refs_u, U0, inertia_w, f_mask, grounded_now,
+         feet_w) = prep(x)
+        valid = warm["valid"] > 0.5                        # (B,)
+        U0 = jnp.where(valid[:, None, None], warm["u"], U0)
+        rho0 = jnp.where(valid, jnp.asarray(rho_warm, dtype),
+                         jnp.asarray(0.5, dtype))
+        U, Z, _cost = ci_solve_batched(
+            z0, U0, refs_z, refs_u, terrain, params.mass.astype(dtype),
+            inertia_w, params.mu.astype(dtype), wts, f_mask, iters=iters,
+            dt=dt_plan, rho0=rho0, backend=backend)
+        out = jax.vmap(lambda u_, z_, rz, gn, fw: _walk_post(
+            u_, z_, rz, gn, fw, terrain, fz_min))(
+            U, Z, refs_z, grounded_now, feet_w)
+        return out, {"u": U, "valid": jnp.ones(x.shape[:1], dtype)}
+
+    policy.ci_stateful = True
+    policy.ci_batched = True
+    policy.warm_init = lambda batch, dtype=jnp.float32: {
+        "u": jnp.zeros((batch, horizon, NU), dtype),
+        "valid": jnp.zeros((batch,), dtype)}
     return policy
 
 
@@ -632,10 +962,13 @@ def make_ci_lean_reference(z0, wall, feet_target, body_pos, body_eul,
     # the template must be an actual member of it — the policy tracks the
     # template strongly (r_f), and tracking an inconsistent template (the
     # old zero-rear-friction one) leaves a net body wrench the closed
-    # loop integrates into drift. Planar (x-z) static balance, per side:
-    #   fx_ground = -fn n_x               (cancel the wall press)
-    #   fw + fz   = mg/2                  (weight)
-    #   r_wx fw + r_gx fz = fn (r_gz - r_wz) n_x_sign   (pitch torque)
+    # loop integrates into drift. Planar (x-z) static balance over
+    # n_wall wall feet and n_ground ground feet (general stance, not
+    # just the symmetric 2+2):
+    #   fx_ground = -fn n_x n_wall/n_ground   (cancel the wall press)
+    #   n_wall fw + n_ground fz = mg          (weight)
+    #   n_wall r_wx fw + n_ground r_gx fz
+    #       = n_wall fn (r_gz - r_wz)(-n_x)   (pitch torque)
     # solved for the wall-foot vertical share fw and ground load fz.
     # balance levers from the MEASURED pose when given (the policy passes
     # the contact-corrected feet + current CoM): the template is then an
@@ -651,19 +984,23 @@ def make_ci_lean_reference(z0, wall, feet_target, body_pos, body_eul,
     r_g = jnp.sum(jnp.where(on_wall[:, None], 0.0,
                             bal_feet - body[None, :]), axis=0) / n_ground
     nx = jnp.sum(jnp.where(on_wall[:, None], n, 0.0), axis=0)[0] / n_wall
-    half_w = mg / n_wall
-    # 2x2 solve: [1, 1; r_wx, r_gx] [fw, fz] = [mg/n_wall_pairs, c2]
-    c1 = mg / 2.0
-    c2 = f_wall_n * (r_g[2] - r_w[2]) * (-nx)
+    # 2x2 solve in the aggregates a = n_wall*fw, b = n_ground*fz:
+    #   [1, 1; r_wx, r_gx] [a, b] = [mg, c2]
+    c2 = n_wall * f_wall_n * (r_g[2] - r_w[2]) * (-nx)
     det = r_g[0] - r_w[0]
-    fw = (c2 - r_g[0] * c1) / jnp.where(jnp.abs(det) < 1e-6, 1e-6, -det)
-    fw = jnp.clip(fw, -0.9 * params.mu.astype(dtype) * f_wall_n,
+    # sign-PRESERVING degenerate-geometry clamp: substituting a fixed
+    # +eps for small |det| flips the solve's sign when det is small and
+    # positive, landing fw on the wrong friction-cone bound
+    safe_det = jnp.where(jnp.abs(det) < 1e-6,
+                         jnp.where(det < 0, -1e-6, 1e-6), det)
+    a = (c2 - r_g[0] * mg) / (-safe_det)
+    fw = jnp.clip(a / n_wall, -0.9 * params.mu.astype(dtype) * f_wall_n,
                   0.9 * params.mu.astype(dtype) * f_wall_n)
-    fz_g = c1 - fw
-    del half_w
+    fz_g = (mg - n_wall * fw) / n_ground
     f_wall = f_wall_n * n + jnp.array([0.0, 0.0, 1.0], dtype)[None, :] * fw
     f_ground = jnp.zeros((4, 3), dtype) \
-        .at[:, 0].set(-f_wall_n * nx).at[:, 2].set(fz_g)
+        .at[:, 0].set(-f_wall_n * nx * n_wall / n_ground) \
+        .at[:, 2].set(fz_g)
     f0 = jnp.where(on_wall[:, None], f_wall, f_ground)
 
     # restoring reference velocity toward the nominal pose: with zero

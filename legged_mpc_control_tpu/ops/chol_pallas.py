@@ -152,6 +152,82 @@ def _solve_kernel(L_hbm, rhs_ref, x_ref, L_ref, sem_in):
     jax.lax.fori_loop(0, n, bwd, 0)
 
 
+def _solve_multi_kernel(L_hbm, rhs_ref, x_ref, L_ref, sem_in):
+    """Solve L L^T X = RHS for one batch tile with MULTIPLE right-hand
+    sides. rhs/x: (n, m, B) — RHS columns on sublanes, batch on lanes.
+    Same recursion as `_solve_kernel`; every step updates all m columns
+    of all B scenarios in one (n, m, B) vector op."""
+    b = pl.program_id(0)
+    n = L_ref.shape[0]
+    lanes = L_ref.shape[-1]
+    cp_in = pltpu.make_async_copy(
+        L_hbm.at[:, :, pl.ds(b * lanes, lanes)], L_ref, sem_in)
+    cp_in.start()
+    cp_in.wait()
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0)
+    x_ref[...] = rhs_ref[...]
+
+    # forward: L Y = RHS
+    def fwd(j, _):
+        diag = L_ref[pl.ds(j, 1), pl.ds(j, 1), :]                # (1,1,B)
+        xj = x_ref[pl.ds(j, 1), :, :] / diag                     # (1,m,B)
+        x_ref[pl.ds(j, 1), :, :] = xj
+        col = L_ref[:, pl.ds(j, 1), :]                           # (n,1,B)
+        x = x_ref[...]
+        x_ref[...] = jnp.where(rows > j, x - col * xj, x)
+        return 0
+
+    jax.lax.fori_loop(0, n, fwd, 0)
+
+    # backward: L^T X = Y  (column j of L^T is row j of L)
+    def bwd(i, _):
+        j = n - 1 - i
+        diag = L_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+        xj = x_ref[pl.ds(j, 1), :, :] / diag
+        x_ref[pl.ds(j, 1), :, :] = xj
+        rowj = L_ref[pl.ds(j, 1), :, :]                          # (1,n,B)
+        rowj = jnp.swapaxes(rowj, 0, 1)                          # (n,1,B)
+        x = x_ref[...]
+        x_ref[...] = jnp.where(rows < j, x - rowj * xj, x)
+        return 0
+
+    jax.lax.fori_loop(0, n, bwd, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cho_solve_lanes_multi(Lt, rhs_t, interpret=False):
+    """Solve L L^T X = RHS with m right-hand sides per scenario.
+    Lt (n, n, B) from `cholesky_lanes`, rhs_t (n, m, B); returns (n, m, B).
+
+    m is padded up to the sublane tile (8); the pad columns solve against
+    zero RHS and are dropped on return."""
+    n, m = rhs_t.shape[0], rhs_t.shape[1]
+    mp = ((m + NB - 1) // NB) * NB
+    if mp != m:
+        rhs_t = jnp.pad(rhs_t, ((0, 0), (0, mp - m), (0, 0)))
+    Lt, b0 = _pad_batch(Lt, LANES)
+    rhs_t, _ = _pad_batch(rhs_t, LANES)
+    B = Lt.shape[-1]
+    out = pl.pallas_call(
+        _solve_multi_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, mp, B), rhs_t.dtype),
+        grid=(B // LANES,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((n, mp, LANES), lambda b: (0, 0, b),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n, mp, LANES), lambda b: (0, 0, b),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, LANES), Lt.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(Lt, rhs_t)
+    return out[:, :m, :b0]
+
+
 def _pad_batch(x, tile):
     b = x.shape[-1]
     pad = (-b) % tile
