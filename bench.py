@@ -303,9 +303,14 @@ def bench_ci_latency(iters=32, horizon=10):
 
 
 def bench_ci_closed_loop(batch=256, n_ticks=10, iters=24):
-    """CI-backend closed-loop throughput: vmapped `closed_loop_tick_lci`
-    (CI policy + 8 substeps of low-level + SRB sim) over a scenario
-    batch. vs_baseline = real-time factor against batch x 100 Hz."""
+    """CI-backend closed-loop throughput: the BATCH-NATIVE
+    `closed_loop_tick_lci_batched` (one ci_solve_batched per tick —
+    batch-in-lanes gain solves, analytic Jacobians — + the fused Pallas
+    substep chain) over a scenario batch, timed from a walked-in
+    warm-started state (every timed tick is a warm trot tick, matching
+    how the closed loop actually runs). vs_baseline = real-time factor
+    against batch x 100 Hz (the reference's 10 ms MPC budget,
+    LeggedParams.h:7)."""
     from legged_mpc_control_tpu.config import a1_params
     from legged_mpc_control_tpu.control import step as step_mod
     from legged_mpc_control_tpu.mpc import ci_mpc, lci_mpc
@@ -315,26 +320,22 @@ def bench_ci_closed_loop(batch=256, n_ticks=10, iters=24):
     dtype = jnp.float32
     params = a1_params(dtype)
     terr = terrain_mod.flat(dtype=dtype)
-    walk = ci_mpc.make_ci_walk_policy(params, terrain=terr, velx=0.1,
-                                      iters=iters)
+    walk = ci_mpc.make_ci_walk_policy_batched(params, terrain=terr,
+                                              velx=0.1, iters=iters)
     stand = lci_mpc.make_stand_policy(params, body_height=0.3)
 
-    def tick_one(loop, lci, t):
-        return step_mod.closed_loop_tick_lci(
-            loop, lci, params, stand, walk, t, terrain=terr)
-
-    v_tick = jax.vmap(tick_one, in_axes=(0, 0, None))
-
-    def roll(loop, lci):
-        def body(carry, k):
-            loop, lci = carry
-            loop, lci = v_tick(loop, lci, 0.01 * k.astype(dtype))
-            return (loop, lci), None
-        (loop, lci), _ = jax.lax.scan(body, (loop, lci),
-                                      jnp.arange(n_ticks))
-        return loop, lci
-
-    roll = jax.jit(roll)
+    def make_roll(n, t0):
+        def roll(loop, lci):
+            def body(carry, k):
+                loop, lci = carry
+                loop, lci = step_mod.closed_loop_tick_lci_batched(
+                    loop, lci, params, stand, walk,
+                    t0 + 0.01 * k.astype(dtype), terrain=None)
+                return (loop, lci), None
+            (loop, lci), _ = jax.lax.scan(body, (loop, lci),
+                                          jnp.arange(n))
+            return loop, lci
+        return jax.jit(roll)
 
     def init(k):
         loop = runner.init_loop_batch(params, batch, jax.random.PRNGKey(k),
@@ -343,16 +344,23 @@ def bench_ci_closed_loop(batch=256, n_ticks=10, iters=24):
         cs = cs.replace(ctrl=cs.ctrl.replace(
             movement_mode=jnp.ones((batch,), jnp.int32)))
         loop = loop.replace(controller=cs)
-        lci = jax.vmap(lambda _: lci_mpc.lci_init(
-            dtype=dtype, policy_warm=walk.warm_init(dtype)))(
-                jnp.arange(batch))
+        lci = lci_mpc.lci_init_batched(
+            batch, dtype=dtype, policy_warm=walk.warm_init(batch, dtype))
         return (loop, lci)
 
-    variants = [init(k) for k in range(2)]
+    # walk in for 20 ticks (untimed) so every timed tick is a warm,
+    # mid-trot tick; two variants so repeated timing can't be served from
+    # a result cache
+    warmup = make_roll(20, jnp.asarray(0.0, dtype))
+    roll = make_roll(n_ticks, jnp.asarray(0.2, dtype))
+    variants = []
+    for k in range(2):
+        variants.append(jax.block_until_ready(warmup(*init(k))))
     out = roll(*variants[0])
     jax.block_until_ready(out)
     final_z = out[0].sim.pos[:, 2]
     assert float(jnp.min(final_z)) > 0.15, "CI scenarios fell in bench"
+    assert bool(jnp.all(jnp.isfinite(out[0].sim.pos))), "non-finite CI"
     dt = _timeit(roll, variants, n_rep=2)
     return batch * n_ticks / dt
 

@@ -418,6 +418,99 @@ def closed_loop_tick_lci(loop: LoopState, lci_state, params: RobotParams,
 
 @partial(jax.jit, static_argnames=("stand_policy", "walk_policy",
                                    "substeps", "kf_type",
+                                   "low_level_type", "fused_substeps"))
+def closed_loop_tick_lci_batched(loop: LoopState, lci_state,
+                                 params: RobotParams, stand_policy,
+                                 walk_policy, t, *,
+                                 substeps: int = C.SUBSTEPS_PER_MPC_TICK,
+                                 kf_type: int = 0,
+                                 low_level_type: int = 0,
+                                 terrain=None,
+                                 fused_substeps: bool = True):
+    """Scenario-batched closed-loop MPC period through the LCI-MPC
+    backend: `closed_loop_tick_lci` with a leading scenario axis, the CI
+    engine evaluated as ONE batch-native solve
+    (lci_mpc.lci_mpc_tick_batched + mpc/ci_mpc.ci_solve_batched), and —
+    on the TPU flat-ground kf0 product path — the substep chain in one
+    fused Pallas launch (ops/substep_pallas.py; the kernel is
+    MPC-backend-agnostic: it consumes optimized_state/input, which the
+    LCI seam fills exactly like the convex path).
+
+    `loop`/`lci_state` batched on every leaf; `walk_policy` must carry
+    the `ci_batched` contract. Returns (loop', lci_state')."""
+    from legged_mpc_control_tpu.mpc import lci_mpc
+
+    dt_mpc = C.MPC_DT
+    dt_ll = dt_mpc / substeps
+    backend = default_backend()
+
+    # params are SHARED across scenarios here (the batch-native CI engine
+    # closes over one robot), unlike closed_loop_tick_batched's
+    # broadcast_params contract
+    v_anf = jax.vmap(_anchored_normal_force, in_axes=(0, None))
+    v_sensors = jax.vmap(_sim_sensors, in_axes=(0, None, 0))
+    v_fb = jax.vmap(
+        lambda cs, raw: feedback_update(cs, raw, params, dt_ll,
+                                        kf_type=kf_type,
+                                        terrain=terrain))
+    v_ll = jax.vmap(lambda cs: lowlevel_update(cs, params,
+                                               low_level_type))
+    v_sim = jax.vmap(lambda sim, tau: srb_sim.sim_step(
+        sim, tau, params, dt_ll, terrain=terrain))
+
+    cs = loop.controller
+    grf_normal = jnp.where(loop.sim.contact, v_anf(loop, params), 0.0)
+    cs = v_fb(cs, v_sensors(loop.sim, params, grf_normal))
+    cs, lci_state = lci_mpc.lci_mpc_tick_batched(
+        cs, lci_state, stand_policy, walk_policy, t, dt_mpc)
+
+    use_fused = (fused_substeps and backend == "pallas" and terrain is None
+                 and kf_type == 0 and low_level_type == 0)
+    if use_fused:
+        from legged_mpc_control_tpu.ops import substep_pallas
+
+        # the fused kernel's param operands are batched (the convex
+        # batched tick runs under broadcast_params); here params are
+        # shared, so broadcast just for the kernel call
+        pb = broadcast_params(params, loop.sim.pos.shape[0])
+        thresh = (pb.foot_sensor_min + pb.foot_sensor_ratio
+                  * (pb.foot_sensor_max - pb.foot_sensor_min))
+        out = substep_pallas.substep_chain_fused(
+            loop.sim.pos, loop.sim.quat, loop.sim.vel, loop.sim.omega,
+            loop.sim.q, loop.sim.dq, loop.sim.contact, loop.sim.anchor,
+            cs.ctrl.optimized_state, cs.ctrl.optimized_input,
+            cs.ctrl.movement_mode, pb.mass, pb.mu,
+            pb.kp_foot, pb.kd_foot, pb.trunk_inertia,
+            pb.rho_fix, pb.default_foot_pos,
+            pb.gait_counter_speed, thresh,
+            cs.ctrl.root_lin_vel_d_rel, substeps=substeps, dt=dt_ll)
+        sim = srb_sim.SimState(
+            pos=out["pos"], quat=out["quat"], vel=out["vel"],
+            omega=out["omega"], q=out["q"], dq=out["dq"],
+            contact=out["contact"], anchor=out["anchor"],
+            last_acc=out["last_acc"])
+        cs = cs.replace(ctrl=cs.ctrl.replace(
+            joint_ang_tgt=out["q_tgt"], joint_vel_tgt=out["dq_tgt"],
+            joint_tau_tgt=out["tau_ff"]))
+        return LoopState(controller=cs, sim=sim), lci_state
+
+    def substep(carry, _):
+        cs, sim = carry
+        cs, tau, _safe = v_ll(cs)
+        sim = v_sim(sim, tau)
+        grf_n = jnp.where(
+            sim.contact,
+            v_anf(LoopState(controller=cs, sim=sim), params), 0.0)
+        cs = v_fb(cs, v_sensors(sim, params, grf_n))
+        return (cs, sim), None
+
+    (cs, sim), _ = jax.lax.scan(substep, (cs, loop.sim), None,
+                                length=substeps, unroll=True)
+    return LoopState(controller=cs, sim=sim), lci_state
+
+
+@partial(jax.jit, static_argnames=("stand_policy", "walk_policy",
+                                   "substeps", "kf_type",
                                    "low_level_type", "n_inner"))
 def closed_loop_tick_lci_wb(loop: LoopState, lci_state,
                             params: RobotParams, model, stand_policy,

@@ -836,7 +836,7 @@ def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
                         gait_freq=2.5, horizon=10, dt_plan=0.02,
                         iters=32, fz_min=2.0, wts: CiWeights = None,
                         offsets=(0.0, 0.5, 0.5, 0.0), stance_frac=0.5,
-                        rho_warm=None):
+                        rho_warm=0.15):
     """The contact-implicit engine as a STATEFUL LciMpc-seam policy
     `(x40, t, warm) -> ((78,), warm')` (reference: LciMpc.cpp:95-139
     exec_policy contract; the warm slot rides LciState.policy_warm).
@@ -909,11 +909,12 @@ def make_ci_walk_policy_batched(params, terrain=None, velx=0.1,
 
     def policy(x, t, warm):
         dtype = x.dtype
-        prep = jax.vmap(lambda xx: _walk_prep(
-            xx, t, params, terrain, velx, body_height, gait_freq,
+        t_b = jnp.broadcast_to(jnp.asarray(t, dtype), x.shape[:1])
+        prep = jax.vmap(lambda xx, tt: _walk_prep(
+            xx, tt, params, terrain, velx, body_height, gait_freq,
             horizon, dt_plan, offsets, stance_frac))
         (z0, refs_z, refs_u, U0, inertia_w, f_mask, grounded_now,
-         feet_w) = prep(x)
+         feet_w) = prep(x, t_b)
         valid = warm["valid"] > 0.5                        # (B,)
         U0 = jnp.where(valid[:, None, None], warm["u"], U0)
         rho0 = jnp.where(valid, jnp.asarray(rho_warm, dtype),

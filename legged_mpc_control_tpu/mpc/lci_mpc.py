@@ -126,6 +126,71 @@ def lci_mpc_tick(state: ControllerState, lci: LciState,
                          mpc_inited=jnp.ones((), dtype=bool)), new_lci
 
 
+def lci_init_batched(batch: int, dtype=jnp.float32,
+                     policy_warm=None) -> LciState:
+    """Scenario-batched LciState (leading axis on every leaf).
+    policy_warm: the BATCHED warm slot from a batch-native engine
+    (e.g. `make_ci_walk_policy_batched(...).warm_init(batch)`)."""
+    return LciState(
+        prev_foot_pos=jnp.zeros((batch, 4, 3), dtype=dtype),
+        prev_foot_vel=jnp.zeros((batch, 4, 3), dtype=dtype),
+        policy_time=jnp.zeros((batch,), dtype=dtype),
+        prev_mode=jnp.zeros((batch,), dtype=jnp.int32),
+        policy_warm=policy_warm,
+    )
+
+
+def lci_mpc_tick_batched(state: ControllerState, lci: LciState,
+                         stand_policy: PolicyFn, walk_policy, t, dt):
+    """Scenario-batched LCI-MPC update: `lci_mpc_tick` over a leading
+    batch axis, with the walk engine evaluated as ONE batch-native call
+    (`policy.ci_batched` contract, mpc/ci_mpc.make_ci_walk_policy_batched
+    — batched iLQR, batch-in-lanes gain solves) instead of a vmap of the
+    solo engine into XLA's batched-LU/AD-heavy lowering.
+
+    `state`/`lci` carry a leading scenario axis on every leaf; `t` is a
+    scalar or (B,). Returns (new ControllerState, new LciState)."""
+    fbk, ctrl = state.fbk, state.ctrl
+    mode = ctrl.movement_mode                              # (B,)
+    changed = mode != lci.prev_mode
+    policy_time = jnp.where(changed, 0.0, lci.policy_time + dt)
+
+    x, _fp, _fv = jax.vmap(pack_policy_state)(fbk, lci)
+
+    out_stand = jax.vmap(stand_policy)(x, policy_time)
+    if getattr(walk_policy, "ci_batched", False):
+        out_walk, warm2 = walk_policy(x, policy_time, lci.policy_warm)
+    elif getattr(walk_policy, "ci_stateful", False):
+        out_walk, warm2 = jax.vmap(walk_policy)(x, policy_time,
+                                                lci.policy_warm)
+    else:
+        out_walk, warm2 = jax.vmap(walk_policy)(x, policy_time), \
+            lci.policy_warm
+    out = jnp.where((mode == 0)[:, None], out_stand, out_walk)
+
+    u = out[:, 0:12]
+    state_des = out[:, 12:30]
+    vel_des = out[:, 30:48]
+    optimized_state = jnp.concatenate([
+        state_des[:, 0:3], state_des[:, 3:6], state_des[:, 6:18]], axis=1)
+    optimized_input = jnp.concatenate([u, vel_des[:, 6:18]], axis=1)
+    plan_contacts = fbk.foot_contact_flag
+
+    new_ctrl = ctrl.replace(
+        optimized_state=optimized_state,
+        optimized_input=optimized_input,
+        plan_contacts=plan_contacts.astype(ctrl.plan_contacts.dtype),
+    )
+    new_lci = LciState(prev_foot_pos=fbk.foot_pos_abs,
+                       prev_foot_vel=fbk.foot_vel_abs,
+                       policy_time=policy_time,
+                       prev_mode=mode,
+                       policy_warm=warm2)
+    return state.replace(ctrl=new_ctrl,
+                         mpc_inited=jnp.ones(mode.shape, dtype=bool)), \
+        new_lci
+
+
 def make_walk_policy(params: RobotParams, velx=0.25, body_height=0.3,
                      gait_freq=None, swing_clearance=0.08,
                      horizon=8, dt_plan=0.02, qp_iters=12,

