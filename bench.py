@@ -171,6 +171,71 @@ def bench_closed_loop(backend, batch=4096, horizon=10, n_ticks=10,
     return batch * n_ticks / dt
 
 
+def bench_closed_loop_kf1(backend, batch=4096, horizon=10, n_ticks=10,
+                          iters=4, velx=0.15):
+    """Closed-loop throughput WITH THE STATE ESTIMATOR IN THE LOOP
+    (kf_type=1): the 18-state contact-gated KF runs inside every substep
+    of the fused Pallas kernel and the controller consumes its estimates
+    — the reference's live configuration (estimation_update every
+    feedback tick, BaseInterface.cpp:404-449; hardware forbids the
+    kf_type=0 bypass, main.cpp:97-100). Untimed gates: estimator accuracy
+    (mean |pos_est - pos_true| < 1 cm on a 120-tick walk) and the same
+    upright/progress quality gates as the kf0 bench."""
+    from legged_mpc_control_tpu.config import go1_params
+    from legged_mpc_control_tpu.mpc import gait
+    from legged_mpc_control_tpu.parallel import runner
+
+    dtype = jnp.float32
+    params = go1_params(dtype)
+    pattern = gait.trot_pattern(dtype)
+
+    def make(n, it):
+        return jax.jit(runner.make_batched_rollout(
+            pattern, horizon=horizon, n_ticks=n, pdip_iters=it,
+            solver="riccati", backend=backend, walk_velx=velx,
+            stand_ticks=20, kf_type=1))
+
+    def init(b, k):
+        return runner.init_loop_batch(
+            params, b, jax.random.PRNGKey(k), height_range=(0.26, 0.30),
+            dtype=dtype, body_height=0.28)
+
+    # --- estimator + quality gates (small batch, 120 ticks, untimed) ---
+    final64, diag = make(120, iters)(init(64, 9), params)
+    z = final64.sim.pos[:, 2]
+    x = final64.sim.pos[:, 0]
+    assert bool(jnp.all(jnp.isfinite(final64.sim.pos))), "non-finite kf1"
+    assert float(jnp.min(z)) > 0.2 and float(jnp.max(z)) < 0.4, \
+        f"fallen kf1 scenarios: z={z}"
+    assert float(jnp.min(x)) > 0.5 * velx * 1.0, f"no progress: x={x}"
+    # estimator accuracy: z is anchored by the flat-ground foot-height
+    # measurements (tight); absolute xy is unobservable — leg odometry
+    # integrates a small drift the reference's filter has too (it
+    # suppresses xy covariance for exactly this reason, BasicKF.cpp:146)
+    err = jnp.abs(final64.controller.kf.x[:, 0:3] - final64.sim.pos)
+    ez = float(jnp.mean(err[:, 2]))
+    exy = float(jnp.mean(err[:, 0:2]))
+    assert ez < 0.01, f"KF z estimate off truth by {ez} m"
+    assert exy < 0.04, f"KF xy drift {exy} m over 1.2 s"
+
+    # --- timed: walked-in warm state, every tick a full kf1 trot tick ---
+    roll = jax.jit(runner.make_batched_rollout(
+        pattern, horizon=horizon, n_ticks=n_ticks, pdip_iters=iters,
+        solver="riccati", backend=backend, walk_velx=velx, stand_ticks=0,
+        kf_type=1))
+    warmup = make(30, iters)
+    variants = []
+    for k in range(2):
+        walked, _ = warmup(init(batch, k), params)
+        variants.append((jax.block_until_ready(walked), params))
+    final, _ = roll(*variants[0])
+    jax.block_until_ready(final)
+    mean_h = float(jnp.mean(final.sim.pos[:, 2]))
+    assert 0.2 < mean_h < 0.4, f"implausible kf1 height {mean_h}"
+    dt = _timeit(roll, variants, n_rep=4)
+    return batch * n_ticks / dt
+
+
 def bench_latency(ge, backend, horizon=10, warm_admm=False):
     """Single-scenario tick latency (ms): QP build + solve, batch = 1."""
     from legged_mpc_control_tpu.mpc import admm
@@ -479,6 +544,18 @@ def main():
     except Exception as e:              # pragma: no cover
         print(json.dumps({"metric":
                           "closed_loop_scenario_ticks_per_s_b4096_h10",
+                          "error": repr(e)}), flush=True)
+
+    try:
+        # estimator-in-the-loop variant of the headline closed loop
+        # (VERDICT r4 directive 4: the kf0 bypass is the reference's
+        # sim-debug mode; this is the mode hardware actually runs)
+        v = bench_closed_loop_kf1(backend)
+        emit("closed_loop_scenario_ticks_per_s_b4096_kf1", v,
+             "scenario-ticks/s", v / (4096 * 100.0))
+    except Exception as e:              # pragma: no cover
+        print(json.dumps({"metric":
+                          "closed_loop_scenario_ticks_per_s_b4096_kf1",
                           "error": repr(e)}), flush=True)
 
     try:

@@ -697,7 +697,8 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
 
     cs = loop.controller
     use_fused = (fused_substeps and backend == "pallas" and terrain is None
-                 and kf_type == 0 and low_level_type == 0)
+                 and kf_type in (0, 1) and low_level_type == 0)
+    carry_feedback = carry_feedback and kf_type == 0
     if not (carry_feedback and use_fused):
         # opening feedback from raw sim sensors. With carry_feedback the
         # previous tick's fused kernel already left a complete Feedback in
@@ -729,12 +730,18 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
             params.kp_foot, params.kd_foot, params.trunk_inertia,
             params.rho_fix, params.default_foot_pos,
             params.gait_counter_speed, thresh,
-            cs.ctrl.root_lin_vel_d_rel, substeps=substeps, dt=dt_ll)
+            cs.ctrl.root_lin_vel_d_rel, substeps=substeps, dt=dt_ll,
+            kf_type=kf_type, kf_x=cs.kf.x, kf_P=cs.kf.P)
         sim = srb_sim.SimState(
             pos=out["pos"], quat=out["quat"], vel=out["vel"],
             omega=out["omega"], q=out["q"], dq=out["dq"],
             contact=out["contact"], anchor=out["anchor"],
             last_acc=out["last_acc"])
+        if kf_type == 1:
+            # the in-kernel KF advanced 8 substeps; carry its state so
+            # the next tick's opening feedback continues the filter
+            cs = cs.replace(kf=cs.kf.replace(x=out["kf_x"],
+                                             P=out["kf_P"]))
         if carry_feedback:
             cs = unpack_fused_feedback(cs, sim, out, params)
         else:

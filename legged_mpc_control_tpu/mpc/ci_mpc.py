@@ -282,11 +282,10 @@ def _rollout_b(z0, U, mass, Iw_inv, dt, s_f=1.0):
     return jnp.concatenate([z0[:, None], jnp.swapaxes(Z1, 0, 1)], axis=1)
 
 
-def _total_cost_b(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
-                  Iw_inv, dt, f_mask, wall=None):
-    """Batched exact total cost. U UNSCALED (B, H, NU); rho (B,).
-    Returns (B,) and the rolled-out Z as a pair."""
-    Z = _rollout_b(z0, U, mass, Iw_inv, dt)
+def _traj_cost_b(Z, U, refs_z, refs_u, terrain, wts, mu, rho, f_mask,
+                 wall=None):
+    """Batched exact total cost of an ALREADY-ROLLED-OUT trajectory.
+    Z (B,H+1,NZ), U UNSCALED (B,H,NU), rho (B,). Returns (B,)."""
     stage = jax.vmap(jax.vmap(
         lambda z, u, rz, ru, fm, rh: ci_stage_cost(
             z, u, rz, ru, terrain, wts, mu, rh, fm, wall),
@@ -297,7 +296,16 @@ def _total_cost_b(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
     term = (jnp.sum(wts.q_pos * (zT[:, 0:3] - rT[:, 0:3]) ** 2, -1)
             + jnp.sum(wts.q_eul * (zT[:, 3:6] - rT[:, 3:6]) ** 2, -1)
             + jnp.sum(wts.q_vel * (zT[:, 6:9] - rT[:, 6:9]) ** 2, -1))
-    return jnp.sum(stage, axis=1) + term, Z
+    return jnp.sum(stage, axis=1) + term
+
+
+def _total_cost_b(z0, U, refs_z, refs_u, terrain, wts, mu, rho, mass,
+                  Iw_inv, dt, f_mask, wall=None):
+    """Batched exact total cost. U UNSCALED (B, H, NU); rho (B,).
+    Returns ((B,), Z)."""
+    Z = _rollout_b(z0, U, mass, Iw_inv, dt)
+    return _traj_cost_b(Z, U, refs_z, refs_u, terrain, wts, mu, rho,
+                        f_mask, wall), Z
 
 
 def _dyn_jac_b(Zs, Uh, mass, Iw_inv, dt, s_f):
@@ -317,23 +325,44 @@ def _dyn_jac_b(Zs, Uh, mass, Iw_inv, dt, s_f):
     f = s_f * Uh[..., 0:12].reshape(B, H, 4, 3)
     r = Zs[..., 12:24].reshape(B, H, 4, 3) - Zs[..., None, 0:3]
     sk_f = _skew_b(f)                                     # (B,H,4,3,3)
-    I3 = jnp.eye(3, dtype=dtype)
 
-    Fz = jnp.broadcast_to(jnp.eye(NZ, dtype=dtype), (B, H, NZ, NZ))
-    Fz = Fz.at[..., 0:3, 6:9].add(dt * I3)
-    Fz = Fz.at[..., 3:6, 9:12].add(dt * I3)
-    Fz = Fz.at[..., 9:12, 0:3].add(
-        dt * jnp.einsum("bij,bhjk->bhik", Iw_inv, jnp.sum(sk_f, axis=2)))
-    fblk = -dt * jnp.einsum("bij,bhfjk->bhfik", Iw_inv, sk_f)
-    for i in range(4):
-        Fz = Fz.at[..., 9:12, 12 + 3 * i:15 + 3 * i].add(fblk[:, :, i])
+    def cst(mat, rows, cols):
+        return jnp.broadcast_to(jnp.asarray(mat, dtype),
+                                (B, H, rows, cols))
+    I3 = jnp.eye(3)
+    Z3 = jnp.zeros((3, 3))
 
-    Fu = jnp.zeros((B, H, NZ, NU), dtype)
-    ublk = (dt * s_f) * jnp.einsum("bij,bhfjk->bhfik", Iw_inv, _skew_b(r))
-    for i in range(4):
-        Fu = Fu.at[..., 6:9, 3 * i:3 * i + 3].add((dt * s_f / mass) * I3)
-        Fu = Fu.at[..., 9:12, 3 * i:3 * i + 3].add(ublk[:, :, i])
-    Fu = Fu.at[..., 12:24, 12:24].add(dt * jnp.eye(12, dtype=dtype))
+    # om-row varying blocks (the only state-dependent pieces)
+    P = dt * jnp.einsum("bij,bhjk->bhik", Iw_inv, jnp.sum(sk_f, axis=2))
+    G = -dt * jnp.einsum("bij,bhfjk->bhfik", Iw_inv, sk_f)   # (B,H,4,3,3)
+    G12 = jnp.swapaxes(G, 2, 3).reshape(B, H, 3, 12)
+    Rm = (dt * s_f) * jnp.einsum("bij,bhfjk->bhfik", Iw_inv, _skew_b(r))
+    R12 = jnp.swapaxes(Rm, 2, 3).reshape(B, H, 3, 12)
+
+    # assemble by block rows (one concat each — no repeated full-array
+    # scatter passes over the (B,H,24,24) operands)
+    row_pos = cst(jnp.concatenate(
+        [I3, Z3, dt * I3, Z3, jnp.zeros((3, 12))], axis=1), 3, NZ)
+    row_eul = cst(jnp.concatenate(
+        [Z3, I3, Z3, dt * I3, jnp.zeros((3, 12))], axis=1), 3, NZ)
+    row_v = cst(jnp.concatenate(
+        [Z3, Z3, I3, Z3, jnp.zeros((3, 12))], axis=1), 3, NZ)
+    row_om = jnp.concatenate(
+        [P, cst(Z3, 3, 3), cst(Z3, 3, 3), cst(I3, 3, 3), G12], axis=-1)
+    row_feet = cst(jnp.concatenate(
+        [jnp.zeros((12, 12)), jnp.eye(12)], axis=1), 12, NZ)
+    Fz = jnp.concatenate([row_pos, row_eul, row_v, row_om, row_feet],
+                         axis=-2)
+
+    vrow = cst(jnp.concatenate(
+        [jnp.tile((dt * s_f) * I3, (1, 4)),
+         jnp.zeros((3, 12))], axis=1), 3, NU) / mass
+    omrow = jnp.concatenate([R12, cst(jnp.zeros((3, 12)), 3, 12)], axis=-1)
+    Fu = jnp.concatenate([
+        cst(jnp.zeros((6, NU)), 6, NU),
+        vrow, omrow,
+        cst(jnp.concatenate([jnp.zeros((12, 12)), dt * jnp.eye(12)],
+                            axis=1), 12, NU)], axis=-2)
     return Fz, Fu
 
 
@@ -386,6 +415,64 @@ def _foot_res_weights(wts: CiWeights, wall):
                       wts.c_cone, wts.c_mask, zero, zero])
 
 
+def _flat_res_jac(feet, fh, wh, fm, rho, terrain, mu, s_f):
+    """Closed-form flat-branch per-foot residuals r (...,8) and Jacobian
+    J (...,8,9) w.r.t. zeta = [foot_pos(3), f_hat(3), w(3)] — the exact
+    derivatives of `_foot_res` (wall=None). rho broadcastable to feet's
+    leading dims. Row order matches `_foot_res_weights`:
+    [fb, slip_x, slip_y, cone_x, cone_y, mask, a, b]."""
+    dtype = feet.dtype
+    f = s_f * fh
+    a = f[..., 2] / F0
+    h = terrain_mod.height_at(terrain, feet[..., 0:2])
+    hg = terrain_mod.height_grad_at(terrain, feet[..., 0:2])
+    b = (feet[..., 2] - h) / G0
+    s = jnp.sqrt(a * a + b * b + rho * rho)
+    spa = _sp(a, rho)
+    sig = jax.nn.sigmoid(a / rho)                       # sp'(a; rho)
+    sq = jnp.sqrt(spa + 1e-12)
+    dsq = sig / (2.0 * sq)                              # d sq / d a
+    sfF0 = s_f / F0
+    # da/dzeta: col 5 only (f_hat z); db/dzeta: cols 0..2
+    dbx = -hg[..., 0] / G0
+    dby = -hg[..., 1] / G0
+    dbz = jnp.full_like(b, 1.0 / G0)
+    z = jnp.zeros_like(a)
+
+    ca = 1.0 - a / s
+    cb = 1.0 - b / s
+    t4 = (jnp.abs(f[..., 0]) - mu * f[..., 2]) / F0
+    t5 = (jnp.abs(f[..., 1]) - mu * f[..., 2]) / F0
+    sig4 = jax.nn.sigmoid(t4 / rho)
+    sig5 = jax.nn.sigmoid(t5 / rho)
+    sgn0 = jnp.sign(f[..., 0])
+    sgn1 = jnp.sign(f[..., 1])
+
+    r = jnp.stack([
+        a + b - s,
+        sq * wh[..., 0], sq * wh[..., 1],
+        _sp(t4, rho), _sp(t5, rho),
+        (1.0 - fm) * a,
+        a, b], axis=-1)
+
+    def row(c0=None, c1=None, c2=None, c3=None, c4=None, c5=None,
+            c6=None, c7=None, c8=None):
+        cols = [c if c is not None else z
+                for c in (c0, c1, c2, c3, c4, c5, c6, c7, c8)]
+        return jnp.stack(cols, axis=-1)
+
+    J = jnp.stack([
+        row(c0=cb * dbx, c1=cb * dby, c2=cb * dbz, c5=ca * sfF0),
+        row(c5=dsq * wh[..., 0] * sfF0, c6=sq),
+        row(c5=dsq * wh[..., 1] * sfF0, c7=sq),
+        row(c3=sig4 * sgn0 * sfF0, c5=-sig4 * mu * sfF0),
+        row(c4=sig5 * sgn1 * sfF0, c5=-sig5 * mu * sfF0),
+        row(c5=(1.0 - fm) * sfF0),
+        row(c5=jnp.full_like(a, sfF0)),
+        row(c0=dbx, c1=dby, c2=dbz)], axis=-2)
+    return r.astype(dtype), J.astype(dtype)
+
+
 # per-foot variable positions inside the 48-dim stage vector zu = [z; uh]
 _FOOT_IDX = jnp.asarray(
     [[12 + 3 * i, 13 + 3 * i, 14 + 3 * i,
@@ -404,14 +491,26 @@ def _quad_ggn_b(Zs, Uh, refs_z, refs_u, f_mask, terrain, wall, wts, mu,
     feet = Zs[..., 12:24].reshape(B, H, 4, 3)
     fh = Uh[..., 0:12].reshape(B, H, 4, 3)
     wh = Uh[..., 12:24].reshape(B, H, 4, 3)
-    zeta = jnp.concatenate([feet, fh, wh], axis=-1)       # (B,H,4,9)
 
-    res = lambda ze, fm, rh: _foot_res(ze, fm, rh, terrain, wall, mu, s_f)
-    both = lambda ze, fm, rh: (res(ze, fm, rh),
-                               jax.jacfwd(res)(ze, fm, rh))
-    r, J = jax.vmap(jax.vmap(jax.vmap(
-        both, in_axes=(0, 0, None)), in_axes=(0, 0, None)),
-        in_axes=(0, 0, 0))(zeta, f_mask, rho)   # (B,H,4,8), (B,H,4,8,9)
+    if wall is None:
+        # closed-form residuals AND Jacobian — the per-foot flat-terrain
+        # derivatives are a handful of sigmoid/sqrt expressions, so the
+        # 9-JVP jacfwd (kept for the wall branch, where the blended
+        # normal makes hand derivatives error-prone) is pure overhead
+        # here. Bitwise-matches jacfwd of `_foot_res` (wall=None) up to
+        # fp reassociation; pinned by tests/test_ci_batched.py.
+        r, J = _flat_res_jac(feet, fh, wh, f_mask, rho[:, None, None],
+                             terrain, mu, s_f)
+    else:
+        zeta = jnp.concatenate([feet, fh, wh], axis=-1)   # (B,H,4,9)
+        res = lambda ze, fm, rh: _foot_res(ze, fm, rh, terrain, wall,
+                                           mu, s_f)
+        both = lambda ze, fm, rh: (res(ze, fm, rh),
+                                   jax.jacfwd(res)(ze, fm, rh))
+        r, J = jax.vmap(jax.vmap(jax.vmap(
+            both, in_axes=(0, 0, None)), in_axes=(0, 0, None)),
+            in_axes=(0, 0, 0))(zeta, f_mask, rho)
+        # (B,H,4,8), (B,H,4,8,9)
 
     # scatter per-foot Jacobians into 48-dim stage coordinates
     E = jax.nn.one_hot(_FOOT_IDX, NZ + NU, dtype=dtype)   # (4,9,48)
@@ -474,7 +573,8 @@ def _psd_solve_b(A, rhs, backend):
     return jax.scipy.linalg.cho_solve((L, True), rhs)
 
 
-@partial(jax.jit, static_argnames=("iters", "dt", "backend"))
+@partial(jax.jit, static_argnames=("iters", "dt", "backend", "rho_min",
+                                   "reg", "state_reg", "f_scale"))
 def ci_solve_batched(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
                      mu, wts: CiWeights = None, f_mask=None, *, iters=16,
                      dt=0.02, rho0=0.5, rho_min=0.05, reg=1e-2,
@@ -514,10 +614,38 @@ def ci_solve_batched(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
     if f_mask is None:
         f_mask = jnp.ones((B, H, 4), dtype)
     Iw_inv = jnp.linalg.inv(inertia_w)                     # (B,3,3)
-    alphas = jnp.array([1.0, 0.5, 0.25, 0.05], dtype)
+    alphas = jnp.array([1.0, 0.5, 0.25, 0.05, 0.0], dtype)
     s_u = jnp.concatenate([jnp.full((12,), f_scale, dtype),
                            jnp.ones((12,), dtype)])        # u = s_u * uh
     rho0 = jnp.broadcast_to(jnp.asarray(rho0, dtype), (B,))
+
+    if backend in ("fused", "fused_interpret"):
+        # single-launch Pallas path (flat-zero terrain, wall=None; the
+        # caller gates via ops.ci_pallas.terrain_is_flat_zero + fits):
+        # the whole sweep loop — quadratize, block-sparse backward,
+        # 5-candidate line search — runs in one kernel per lane tile
+        from legged_mpc_control_tpu.ops import ci_pallas
+
+        s_u = jnp.concatenate([jnp.full((12,), f_scale, dtype),
+                               jnp.ones((12,), dtype)])
+        track_h = 2.0 * jnp.concatenate([
+            wts.q_pos, wts.q_eul, wts.q_vel, wts.q_omega,
+            jnp.tile(wts.q_foot, 4),
+            jnp.full((12,), wts.r_f * f_scale * f_scale, dtype),
+            jnp.full((12,), wts.r_w, dtype)]).astype(dtype)
+        wts_vec = jnp.concatenate([
+            jnp.stack([wts.c_fb, wts.c_slip, wts.c_cone,
+                       wts.c_mask]).astype(dtype), track_h])
+        ref_zu = jnp.concatenate([refs_z[:, :-1],
+                                  refs_u[..., 0:12] / f_scale,
+                                  refs_u[..., 12:24]], axis=-1)
+        Uh, Z, cost = ci_pallas.ci_sweeps_fused(
+            z0, U0 / s_u, ref_zu, refs_z[:, -1], f_mask, rho0, wts_vec,
+            mu, mass, jnp.linalg.inv(inertia_w), iters=iters, dt=dt,
+            s_f=f_scale, rho_min=rho_min, reg=reg, state_reg=state_reg,
+            interpret=(backend == "fused_interpret"))
+        return s_u * Uh, Z, cost
+
     eyeU = jnp.eye(NU, dtype=dtype)
     hT = 2.0 * jnp.concatenate([
         wts.q_pos, wts.q_eul, wts.q_vel,
@@ -598,11 +726,6 @@ def ci_solve_batched(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
         return (stagewise(U2),
                 jnp.concatenate([Z[:, 0:1], stagewise(Z1)], axis=1))
 
-    def total_c(z0_, Uh, rho):
-        c, _ = _total_cost_b(z0_, s_u * Uh, refs_z, refs_u, terrain, wts,
-                             mu, rho, mass, Iw_inv, dt, f_mask, wall)
-        return c
-
     def sweep(carry, it):
         Uh, Z = carry
         frac = it / (iters - 1.0) if iters > 1 else 1.0
@@ -610,20 +733,22 @@ def ci_solve_batched(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
                           rho_min).astype(dtype)           # (B,)
         kff, K = backward(Z, Uh, rho)
 
+        # line search: alpha = 0 reproduces the nominal (Uh, Z) EXACTLY
+        # (the feedback term vanishes along the nominal rollout), so the
+        # no-improvement fallback is just another candidate — one vmapped
+        # pass evaluates candidates and baseline, each costed directly on
+        # the trajectory its forward pass just produced (no re-rollout)
         def try_alpha(alpha):
             U2, Z2 = forward(Z, Uh, kff, K, alpha)
-            c = total_c(Z[:, 0], U2, rho)
+            c = _traj_cost_b(Z2, s_u * U2, refs_z, refs_u, terrain, wts,
+                             mu, rho, f_mask, wall)
             return U2, Z2, jnp.where(jnp.isfinite(c), c, jnp.inf)
         U2s, Z2s, cs = jax.vmap(try_alpha)(alphas)         # (A,B,...)
-        c0 = total_c(Z[:, 0], Uh, rho)
         best = jnp.argmin(cs, axis=0)                      # (B,)
         cbest = jnp.take_along_axis(cs, best[None, :], 0)[0]
-        Ub = jnp.take_along_axis(U2s, best[None, :, None, None], 0)[0]
-        Zb = jnp.take_along_axis(Z2s, best[None, :, None, None], 0)[0]
-        improved = cbest < c0
-        U_new = jnp.where(improved[:, None, None], Ub, Uh)
-        Z_new = jnp.where(improved[:, None, None], Zb, Z)
-        return (U_new, Z_new), jnp.minimum(cbest, c0)
+        U_new = jnp.take_along_axis(U2s, best[None, :, None, None], 0)[0]
+        Z_new = jnp.take_along_axis(Z2s, best[None, :, None, None], 0)[0]
+        return (U_new, Z_new), cbest
 
     Uh0 = U0 / s_u
     Z0 = _rollout_b(z0, U0, mass, Iw_inv, dt)
@@ -632,11 +757,21 @@ def ci_solve_batched(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
     return s_u * Uh, Z, costs[-1]
 
 
-@partial(jax.jit, static_argnames=("iters", "dt"))
+def ci_pallas_available(terrain, wall, horizon, dtype=jnp.float32) -> bool:
+    """True if the single-launch fused TPU kernel (ops/ci_pallas.py)
+    serves this problem: flat-zero terrain, no wall, H <= 12, f32.
+    Concrete (policy-build-time) check — heights must not be traced."""
+    from legged_mpc_control_tpu.ops import ci_pallas
+    return (wall is None and ci_pallas.fits(horizon, dtype)
+            and ci_pallas.terrain_is_flat_zero(terrain))
+
+
+@partial(jax.jit, static_argnames=("iters", "dt", "backend", "rho_min",
+                                   "reg", "state_reg", "f_scale"))
 def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
              mu, wts: CiWeights = None, f_mask=None, *, iters=16, dt=0.02,
              rho0=0.5, rho_min=0.05, reg=1e-2, state_reg=1e-1,
-             f_scale=F0, wall=None):
+             f_scale=F0, wall=None, backend=None):
     """Single-scenario Gauss-Newton iLQR — the B=1 view of
     `ci_solve_batched` (see there for the algorithm and conditioning
     notes).
@@ -655,7 +790,7 @@ def ci_solve(z0, U0, refs_z, refs_u, terrain, mass, inertia_w,
         z0[None], U0[None], refs_z[None], refs_u[None], terrain, mass,
         inertia_w[None], mu, wts, fm, iters=iters, dt=dt, rho0=rho0,
         rho_min=rho_min, reg=reg, state_reg=state_reg, f_scale=f_scale,
-        wall=wall)
+        wall=wall, backend=backend)
     return U[0], Z[0], cost[0]
 
 
@@ -858,6 +993,10 @@ def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
         terrain = terrain_mod.flat()
     if gait_freq is None:
         gait_freq = float(params.gait_counter_speed)
+    backend = None
+    if (jax.default_backend() == "tpu"
+            and ci_pallas_available(terrain, None, horizon)):
+        backend = "fused"      # single-launch kernel (ops/ci_pallas.py)
 
     def policy(x, t, warm):
         dtype = x.dtype
@@ -873,7 +1012,7 @@ def make_ci_walk_policy(params, terrain=None, velx=0.1, body_height=0.3,
         U, Z, _cost = ci_solve(
             z0, U0, refs_z, refs_u, terrain, params.mass.astype(dtype),
             inertia_w, params.mu.astype(dtype), wts, f_mask, iters=iters,
-            dt=dt_plan, rho0=rho0)
+            dt=dt_plan, rho0=rho0, backend=backend)
         out = _walk_post(U, Z, refs_z, grounded_now, feet_w, terrain,
                          fz_min)
         return out, {"u": U, "valid": jnp.ones((), dtype)}
@@ -906,6 +1045,9 @@ def make_ci_walk_policy_batched(params, terrain=None, velx=0.1,
         terrain = terrain_mod.flat()
     if gait_freq is None:
         gait_freq = float(params.gait_counter_speed)
+    if (backend is None and jax.default_backend() == "tpu"
+            and ci_pallas_available(terrain, None, horizon)):
+        backend = "fused"      # single-launch kernel (ops/ci_pallas.py)
 
     def policy(x, t, warm):
         dtype = x.dtype

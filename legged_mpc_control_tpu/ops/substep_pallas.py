@@ -49,6 +49,14 @@ from legged_mpc_control_tpu.control.safety import (
     PITCH_LIMIT,
     ROLL_LIMIT,
 )
+from legged_mpc_control_tpu.estimation.basic_kf import (
+    PROCESS_NOISE_PFOOT as _KF_Q_PFOOT,
+    PROCESS_NOISE_PIMU as _KF_Q_PIMU,
+    PROCESS_NOISE_VIMU as _KF_Q_VIMU,
+    SENSOR_NOISE_PIMU_REL_FOOT as _KF_R_PFOOT,
+    SENSOR_NOISE_VIMU_REL_FOOT as _KF_R_VFOOT,
+    SENSOR_NOISE_ZFOOT as _KF_R_ZFOOT,
+)
 from legged_mpc_control_tpu.sim.srb_sim import (
     CONTACT_RELEASE_FZ,
     LEG_DAMPING,
@@ -219,15 +227,28 @@ def _ik_leg(px0, py0, pz, qr1, qr2, qr3, ox, oy, d, lt, lc):
     return best
 
 
-def _make_kernel(substeps, dt, dtype):
+def _make_kernel(substeps, dt, dtype, kf1=False):
     g = GRAVITY_EST
 
     def kernel(pos_ref, quat_ref, vel_ref, omega_ref, q_ref, dq_ref,
                contact_ref, anchor_ref, ostate_ref, oinput_ref, mode_ref,
                mass_ref, mu_ref, kp_ref, kd_ref, inertia_ref, rho_ref,
                dfp_ref, gspeed_ref, thresh_ref, veld_ref,
-               pos_o, quat_o, vel_o, omega_o, q_o, dq_o, contact_o,
-               anchor_o, lastacc_o, qt_o, dqt_o, taut_o, fb_o):
+               *refs):
+        if kf1:
+            # estimator-in-the-loop variant (kf_type=1): the 18-state
+            # contact-gated KF (estimation/basic_kf.py) runs INSIDE every
+            # substep, and the controller consumes its estimates — the
+            # reference's live configuration (estimation_update every
+            # feedback tick, BaseInterface.cpp:404-449; hardware refuses
+            # kf_type 0, main.cpp:97-100)
+            (kfx_ref, kfP_ref,
+             pos_o, quat_o, vel_o, omega_o, q_o, dq_o, contact_o,
+             anchor_o, lastacc_o, qt_o, dqt_o, taut_o, fb_o,
+             kfx_o, kfP_o) = refs
+        else:
+            (pos_o, quat_o, vel_o, omega_o, q_o, dq_o, contact_o,
+             anchor_o, lastacc_o, qt_o, dqt_o, taut_o, fb_o) = refs
         # keep the captured mode as f32 — an i1 lane vector crossing the
         # fori_loop region boundary fails Mosaic legalization (same issue
         # as riccati_pallas.py's f32 `done` carry)
@@ -245,7 +266,16 @@ def _make_kernel(substeps, dt, dtype):
                  for l in range(4)]
 
         def substep(carry):
-            (pos, quat, vel, omega, q, dq, contact, anchor) = carry
+            if kf1:
+                (pos, quat, vel, omega, q, dq, contact, anchor,
+                 kfx, kfP) = carry
+                # the controller runs on the ESTIMATED root state (the
+                # XLA path's fbk.root_pos/root_lin_vel under kf_type=1)
+                est_pos = [kfx[i] for i in range(3)]
+                est_vel = [kfx[3 + i] for i in range(3)]
+            else:
+                (pos, quat, vel, omega, q, dq, contact, anchor) = carry
+                est_pos, est_vel = pos, vel
             walking = walking_f > 0.5
             qw, qx, qy, qz = quat
             R = _rotmat(qw, qx, qy, qz)
@@ -263,8 +293,9 @@ def _make_kernel(substeps, dt, dtype):
                 J = jacs[l]
                 tau_ff = [-(J[0][i] * f_rel[0] + J[1][i] * f_rel[1]
                             + J[2][i] * f_rel[2]) for i in range(3)]
-                ftr = _mtv(R, [ft_w[l][i] - pos[i] for i in range(3)])
-                ftvr = _mtv(R, [ftv_w[l][i] - vel[i] for i in range(3)])
+                ftr = _mtv(R, [ft_w[l][i] - est_pos[i] for i in range(3)])
+                ftvr = _mtv(R, [ftv_w[l][i] - est_vel[i]
+                                for i in range(3)])
                 q_ik = _ik_leg(ftr[0], ftr[1], ftr[2],
                                q[l][0], q[l][1], q[l][2],
                                rho[l][0], rho[l][1], rho[l][2],
@@ -392,8 +423,110 @@ def _make_kernel(substeps, dt, dtype):
                 dq_new.append([jnp.where(on, dq_st[i], dq_sw[i])
                                for i in range(3)])
 
+            if not kf1:
+                out = (pos2, list(quat2), vel2, omega2, q_new, dq_new,
+                       new_contact, new_anchor)
+                return out, acc, qt_all, dqt_all, tff_all
+
+            # === 18-state contact-gated KF at the NEW state ===
+            # (estimation/basic_kf.kf_update, lanes layout; reference:
+            # BasicKF.cpp:72-167). The control input u = R a_imu + g is
+            # exactly this substep's true trunk acceleration `acc`
+            # (sim/srb_sim.read_sensors inverts the same IMU model).
+            L_lanes = pos[0].shape[-1]
+            gyro = _mtv(R2, omega2)
+            fprs, fvrs, fss = [], [], []
+            for l in range(4):
+                fk = _fk_leg(q_new[l][0], q_new[l][1], q_new[l][2],
+                             *rho[l])
+                Jn = _jac_leg(q_new[l][0], q_new[l][1], q_new[l][2],
+                              rho[l][2], rho[l][3], rho[l][4])
+                fvr = _mv(Jn, dq_new[l])
+                fr = _solve3_t(Jn, [-tff_all[l][i] for i in range(3)])
+                fw_s = _mv(R2, fr)
+                anf = jnp.maximum(fw_s[2], 0.0)
+                fss.append(jnp.where(new_contact[l] > 0.5, anf, 0.0))
+                fprs.append(fk)
+                fvrs.append(fvr)
+            thresh_v = thresh_ref[0]
+            ones_l = jnp.ones_like(fss[0])
+            c_gate = [jnp.where(walking,
+                                jax.nn.sigmoid(10.0 * (fss[l] - thresh_v)),
+                                ones_l) for l in range(4)]
+            infl = [1.0 + (1.0 - c_gate[l]) * 1e3 for l in range(4)]
+
+            x_pri = kfx
+            # predict: x_bar = A x + B u,  P_bar = A P A^T + Q
+            xbar = x_pri.at[0:3].add(dt * x_pri[3:6])
+            xbar = xbar.at[3:6].add(dt * jnp.stack(acc))
+            Pp = kfP.at[0:3, :, :].add(dt * kfP[3:6, :, :])
+            Pp = Pp.at[:, 0:3, :].add(dt * Pp[:, 3:6, :])
+            qd = jnp.concatenate(
+                [jnp.full((3, L_lanes), _KF_Q_PIMU * dt / 20.0, dtype),
+                 jnp.full((3, L_lanes), _KF_Q_VIMU * dt * 9.8 / 20.0,
+                          dtype)]
+                + [jnp.stack([infl[l] * dt * _KF_Q_PFOOT] * 3)
+                   for l in range(4)], axis=0)
+            i18 = jax.lax.broadcasted_iota(jnp.int32, (18, 18), 0)
+            j18 = jax.lax.broadcasted_iota(jnp.int32, (18, 18), 1)
+            d18 = (i18 == j18).astype(dtype)[:, :, None]
+            Pp = Pp + d18 * qd[:, None, :]
+
+            # sequential scalar rows (== basic_kf.sequential_update; R
+            # diagonal makes row-wise rank-1 corrections exact). Every
+            # h row has <= 2 nonzeros, so P @ h is a column pick.
+            dx = jnp.zeros((18, L_lanes), dtype)
+            Pm = Pp
+            # rows 0..11: FK residuals  (h = e_{6+3l+ax} - e_{ax})
+            for l in range(4):
+                Rf = _mv(R2, fprs[l])
+                for ax in range(3):
+                    j = 6 + 3 * l + ax
+                    Ph = Pm[:, j, :] - Pm[:, ax, :]
+                    s = (Ph[j] - Ph[ax]
+                         + infl[l] * _KF_R_PFOOT)
+                    e0 = Rf[ax] - (xbar[j] - xbar[ax])
+                    K = Ph / s[None, :]
+                    dx = dx + K * (e0 - (dx[j] - dx[ax]))[None, :]
+                    Pm = Pm - K[:, None, :] * Ph[None, :, :]
+            # rows 12..23: leg-odometry velocities  (h = e_{3+ax})
+            for l in range(4):
+                cgp = _cross(gyro, fprs[l])
+                lv = [-fvrs[l][i] - cgp[i] for i in range(3)]
+                Rlv = _mv(R2, lv)
+                for ax in range(3):
+                    j = 3 + ax
+                    Ph = Pm[:, j, :]
+                    s = Ph[j] + infl[l] * _KF_R_VFOOT
+                    y = ((1.0 - c_gate[l]) * x_pri[3 + ax]
+                         + c_gate[l] * Rlv[ax])
+                    e0 = y - xbar[j]
+                    K = Ph / s[None, :]
+                    dx = dx + K * (e0 - dx[j])[None, :]
+                    Pm = Pm - K[:, None, :] * Ph[None, :, :]
+            # rows 24..27: foot heights  (h = e_{8+3l})
+            for l in range(4):
+                j = 8 + 3 * l
+                Ph = Pm[:, j, :]
+                s = Ph[j] + infl[l] * _KF_R_ZFOOT
+                y = (1.0 - c_gate[l]) * (x_pri[2] + fprs[l][2])
+                e0 = y - xbar[j]
+                K = Ph / s[None, :]
+                dx = dx + K * (e0 - dx[j])[None, :]
+                Pm = Pm - K[:, None, :] * Ph[None, :, :]
+
+            kfx2 = xbar + dx
+            Pm = 0.5 * (Pm + jnp.swapaxes(Pm, 0, 1))
+            # xy-drift suppression (reference: BasicKF.cpp:146-150)
+            det2 = Pm[0, 0, :] * Pm[1, 1, :] - Pm[0, 1, :] * Pm[1, 0, :]
+            supp = (det2 > 1e-6).astype(dtype)[None, None, :]
+            msup = jnp.where((i18 < 2) & (j18 < 2), 0.1,
+                             jnp.where((i18 < 2) | (j18 < 2), 0.0,
+                                       1.0)).astype(dtype)
+            Pm = supp * (Pm * msup[:, :, None]) + (1.0 - supp) * Pm
+
             out = (pos2, list(quat2), vel2, omega2, q_new, dq_new,
-                   new_contact, new_anchor)
+                   new_contact, new_anchor, kfx2, Pm)
             return out, acc, qt_all, dqt_all, tff_all
 
         # initial state from refs
@@ -424,13 +557,27 @@ def _make_kernel(substeps, dt, dtype):
             return (to_tuple(carry), to_tuple(acc), to_tuple(qt),
                     to_tuple(dqt), to_tuple(tff))
 
-        init = (to_tuple((pos, quat, vel, omega, q, dq, contact, anchor)),
+        state0 = [pos, quat, vel, omega, q, dq, contact, anchor]
+        if kf1:
+            state0 += [kfx_ref[...], kfP_ref[...]]
+        init = (to_tuple(state0),
                 to_tuple(zero3), to_tuple(zero43), to_tuple(zero43),
                 to_tuple(zero43))
         carry, acc, qt, dqt, tff = jax.lax.fori_loop(
             0, substeps, loop_body, init)
 
-        (pos, quat, vel, omega, q, dq, contact, anchor) = carry
+        if kf1:
+            (pos, quat, vel, omega, q, dq, contact, anchor,
+             kfx_fin, kfP_fin) = carry
+            kfx_o[...] = kfx_fin
+            kfP_o[...] = kfP_fin
+            # the feedback tail's root state is the ESTIMATE under kf1
+            # (fbk.root_pos/root_lin_vel come from the filter)
+            est_pos_f = [kfx_fin[i] for i in range(3)]
+            est_vel_f = [kfx_fin[3 + i] for i in range(3)]
+        else:
+            (pos, quat, vel, omega, q, dq, contact, anchor) = carry
+            est_pos_f, est_vel_f = pos, vel
         for i in range(3):
             pos_o[i] = pos[i]
             vel_o[i] = vel[i]
@@ -505,11 +652,11 @@ def _make_kernel(substeps, dt, dtype):
         cy, sy = jnp.cos(yaw), jnp.sin(yaw)
         vdx = cy * veld_ref[0] - sy * veld_ref[1]
         vdy = sy * veld_ref[0] + cy * veld_ref[1]
-        kf = jnp.sqrt(jnp.abs(pos[2]) / 9.8)
+        kf = jnp.sqrt(jnp.abs(est_pos_f[2]) / 9.8)
         tf = 0.25 / gspeed_ref[0]
-        dx = jnp.clip(kf * (vel[0] - vdx) + tf * vdx,
+        dx = jnp.clip(kf * (est_vel_f[0] - vdx) + tf * vdx,
                       -FOOT_DELTA_X_LIMIT, FOOT_DELTA_X_LIMIT)
-        dy = jnp.clip(kf * (vel[1] - vdy) + tf * vdy,
+        dy = jnp.clip(kf * (est_vel_f[1] - vdy) + tf * vdy,
                       -FOOT_DELTA_Y_LIMIT, FOOT_DELTA_Y_LIMIT)
         for l in range(4):
             d0, d1, d2 = dfp_ref[l, 0], dfp_ref[l, 1], dfp_ref[l, 2]
@@ -537,14 +684,16 @@ FB_N = 150
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("substeps", "dt", "interpret"))
+                   static_argnames=("substeps", "dt", "kf_type",
+                                    "interpret"))
 def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
                         sim_dq, sim_contact, sim_anchor, opt_state,
                         opt_input, movement_mode, mass, mu, kp_foot,
                         kd_foot, trunk_inertia, rho_fix,
                         default_foot_pos, gait_counter_speed,
                         contact_thresh, vel_d_rel, *, substeps,
-                        dt, interpret=False):
+                        dt, kf_type=0, kf_x=None, kf_P=None,
+                        interpret=False):
     """Run the whole substep chain for a scenario batch in one launch.
 
     All array args carry a leading batch axis (broadcast_params form).
@@ -553,6 +702,13 @@ def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
     products (`fb`, the FB_ROWS block, batch-first (B, 150)) — everything
     the next tick's MPC needs, so the rollout skips the per-tick XLA
     feedback pass (see control/step.py:unpack_fused_feedback).
+
+    kf_type=1 runs the 18-state contact-gated KF INSIDE every substep
+    (lanes layout), with the controller consuming the estimates — the
+    reference's live configuration (BaseInterface.cpp:404-449). Pass the
+    batched filter state kf_x (B,18) / kf_P (B,18,18); the returned dict
+    gains updated "kf_x"/"kf_P", and the fb block's root state is the
+    ESTIMATE (what fbk.root_pos/root_lin_vel hold under kf_type=1).
     """
     B = sim_pos.shape[0]
     dtype = sim_pos.dtype
@@ -592,8 +748,11 @@ def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
         lanes(jnp.asarray(contact_thresh, dtype)[:, None]),      # (1,Bp)
         lanes(vel_d_rel),                     # (3,Bp)
     ]
+    kf1 = kf_type == 1
+    if kf1:
+        ins += [lanes(kf_x), lanes(kf_P)]     # (18,Bp), (18,18,Bp)
 
-    kernel = _make_kernel(substeps, float(dt), dtype)
+    kernel = _make_kernel(substeps, float(dt), dtype, kf1=kf1)
     grid = (Bp // LANES,)
 
     def spec(shape):
@@ -605,6 +764,8 @@ def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
     out_shapes = [(3, Bp), (4, Bp), (3, Bp), (3, Bp), (12, Bp), (12, Bp),
                   (4, Bp), (4, 3, Bp), (3, Bp), (12, Bp), (12, Bp),
                   (12, Bp), (FB_N, Bp)]
+    if kf1:
+        out_shapes += [(18, Bp), (18, 18, Bp)]
     outs = pl.pallas_call(
         kernel,
         out_shape=[jax.ShapeDtypeStruct(s, dtype) for s in out_shapes],
@@ -619,8 +780,13 @@ def substep_chain_fused(sim_pos, sim_quat, sim_vel, sim_omega, sim_q,
         perm = (x.ndim - 1,) + tuple(range(x.ndim - 1))
         return jnp.transpose(x, perm)
 
+    outs = [unlanes(o) for o in outs]
     (pos, quat, vel, omega, q, dq, contact, anchor, last_acc, qt, dqt,
-     taut, fb) = [unlanes(o) for o in outs]
-    return dict(pos=pos, quat=quat, vel=vel, omega=omega, q=q, dq=dq,
-                contact=contact > 0.5, anchor=anchor, last_acc=last_acc,
-                q_tgt=qt, dq_tgt=dqt, tau_ff=taut, fb=fb)
+     taut, fb) = outs[:13]
+    res = dict(pos=pos, quat=quat, vel=vel, omega=omega, q=q, dq=dq,
+               contact=contact > 0.5, anchor=anchor, last_acc=last_acc,
+               q_tgt=qt, dq_tgt=dqt, tau_ff=taut, fb=fb)
+    if kf1:
+        res["kf_x"] = outs[13]
+        res["kf_P"] = outs[14]
+    return res

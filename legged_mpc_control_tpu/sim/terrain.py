@@ -118,6 +118,35 @@ def height_at(t: Terrain, xy):
             + (1 - fx) * fy * h01 + fx * fy * h11)
 
 
+def height_grad_at(t: Terrain, xy):
+    """Analytic gradient of `height_at` w.r.t. world xy: (..., 2).
+
+    The bilinear interpolant's exact in-cell gradient (clamped-edge cells
+    included); at cell boundaries this is the right-sided subgradient,
+    matching what AD of `height_at` produces. Used by the contact-implicit
+    solver's closed-form quadratization (mpc/ci_mpc._quad_ggn_b)."""
+    nx, ny = t.heights.shape
+    g = (xy - t.origin) / t.cell
+    gx = jnp.clip(g[..., 0], 0.0, nx - 1.000001)
+    gy = jnp.clip(g[..., 1], 0.0, ny - 1.000001)
+    ix = jnp.floor(gx).astype(jnp.int32)
+    iy = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - ix
+    fy = gy - iy
+    h00 = t.heights[ix, iy]
+    h10 = t.heights[jnp.minimum(ix + 1, nx - 1), iy]
+    h01 = t.heights[ix, jnp.minimum(iy + 1, ny - 1)]
+    h11 = t.heights[jnp.minimum(ix + 1, nx - 1),
+                    jnp.minimum(iy + 1, ny - 1)]
+    dhx = ((1 - fy) * (h10 - h00) + fy * (h11 - h01)) / t.cell
+    dhy = ((1 - fx) * (h01 - h00) + fx * (h11 - h10)) / t.cell
+    # out-of-grid queries clamp to the edge -> zero gradient there
+    in_x = (g[..., 0] > 0.0) & (g[..., 0] < nx - 1.000001)
+    in_y = (g[..., 1] > 0.0) & (g[..., 1] < ny - 1.000001)
+    return jnp.stack([jnp.where(in_x, dhx, 0.0),
+                      jnp.where(in_y, dhy, 0.0)], axis=-1)
+
+
 def slope_pitch_at(t: Terrain, xy, heading_xy):
     """Terrain pitch (rad) along a heading direction — feeds the Bezier
     swing curve's terrain_pitch_angle (ops/bezier.py)."""

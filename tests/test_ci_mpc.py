@@ -187,7 +187,14 @@ def test_ci_closed_loop_box_step():
     terr = terrain_mod.flat(extent=3.0, cell=0.05, dtype=DTYPE)
     terr = terrain_mod.add_box(terr, center_xy=(1.3, 0.0),
                                size_xy=(2.2, 2.0), height=0.03)
-    walk = ci_mpc.make_ci_walk_policy(PARAMS, terrain=terr, velx=0.12)
+    # iters=48 is the shipped TERRAIN operating point: the climb outcome
+    # is chaotic in velx at lower sweep counts (0.119/0.121 perturbations
+    # flip pass/fall at iters=32 — on the round-4 solver too), while
+    # rho_warm + 48 sweeps clears x in [0.585, 0.633] across the same
+    # perturbation grid. Flat-ground walking ships iters=32 (the
+    # latency-bench config; fused kernel path).
+    walk = ci_mpc.make_ci_walk_policy(PARAMS, terrain=terr, velx=0.12,
+                                      iters=48)
     loop, worst_rp = _drive_lci_ci(terr, walk, 700)
     p = np.asarray(loop.sim.pos)
     ground = float(terrain_mod.height_at(terr, loop.sim.pos[:2]))

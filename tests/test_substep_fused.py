@@ -48,14 +48,14 @@ def _mid_walk_state():
     return loop, params
 
 
-def _xla_substeps(loop, params, substeps):
+def _xla_substeps(loop, params, substeps, kf_type=0):
     """The reference XLA substep scan, replicated from
     closed_loop_tick_batched's fallback path."""
     cs = loop.controller
     v_anf = jax.vmap(step_mod._anchored_normal_force)
     v_sensors = jax.vmap(step_mod._sim_sensors)
     v_fb = jax.vmap(lambda c, raw, pp: step_mod.feedback_update(
-        c, raw, pp, DT_LL, kf_type=0))
+        c, raw, pp, DT_LL, kf_type=kf_type))
     v_ll = jax.vmap(lambda c, pp: step_mod.lowlevel_update(c, pp, 0))
     v_sim = jax.vmap(lambda ss, tt, pp: srb_sim.sim_step(
         ss, tt, pp, DT_LL))
@@ -101,6 +101,54 @@ def test_fused_substeps_match_xla():
                                cs_ref.ctrl.joint_vel_tgt, atol=5e-2)
     np.testing.assert_allclose(out["tau_ff"],
                                cs_ref.ctrl.joint_tau_tgt, atol=1e-2)
+
+
+def test_fused_substeps_kf1_match_xla():
+    """Estimator-in-the-loop variant: the in-kernel 18-state KF and the
+    estimate-consuming low-level must reproduce the XLA kf_type=1 substep
+    scan — filter state included (VERDICT r4 directive: the estimator
+    belongs inside the benched fast path; reference runs estimation every
+    feedback tick, BaseInterface.cpp:404-449)."""
+    loop, params = _mid_walk_state()
+    pattern = gait.trot_pattern(DT)
+    # initialize + settle the filter on the XLA path (first kf1 feedback
+    # seeds kf_fresh; a few ticks converge the covariance)
+    warm = jnp.zeros((B, 120), DT)
+    for _ in range(3):
+        loop, warm = step_mod.closed_loop_tick_batched(
+            loop, params, pattern, horizon=10, iters=10, solver="riccati",
+            backend="xla", warm=warm, kf_type=1, fused_substeps=False)
+    sim_ref, cs_ref = _xla_substeps(loop, params, 2, kf_type=1)
+
+    cs = loop.controller
+    out = substep_pallas.substep_chain_fused(
+        loop.sim.pos, loop.sim.quat, loop.sim.vel, loop.sim.omega,
+        loop.sim.q, loop.sim.dq, loop.sim.contact, loop.sim.anchor,
+        cs.ctrl.optimized_state, cs.ctrl.optimized_input,
+        cs.ctrl.movement_mode, params.mass, params.mu, params.kp_foot,
+        params.kd_foot, params.trunk_inertia, params.rho_fix,
+        params.default_foot_pos, params.gait_counter_speed,
+        params.foot_sensor_min + params.foot_sensor_ratio
+        * (params.foot_sensor_max - params.foot_sensor_min),
+        cs.ctrl.root_lin_vel_d_rel,
+        substeps=2, dt=DT_LL, kf_type=1, kf_x=cs.kf.x, kf_P=cs.kf.P,
+        interpret=True)
+
+    np.testing.assert_allclose(out["pos"], sim_ref.pos, atol=2e-4)
+    np.testing.assert_allclose(out["quat"], sim_ref.quat, atol=2e-4)
+    np.testing.assert_allclose(out["vel"], sim_ref.vel, atol=2e-3)
+    np.testing.assert_allclose(out["q"], sim_ref.q, atol=2e-3)
+    assert np.array_equal(np.asarray(out["contact"]),
+                          np.asarray(sim_ref.contact))
+    # the filter state itself
+    np.testing.assert_allclose(out["kf_x"], cs_ref.kf.x, atol=2e-3)
+    np.testing.assert_allclose(out["kf_P"], cs_ref.kf.P,
+                               rtol=2e-3, atol=2e-4)
+    # controller-visible estimates
+    np.testing.assert_allclose(out["kf_x"][:, 0:3], cs_ref.fbk.root_pos,
+                               atol=2e-3)
+    np.testing.assert_allclose(out["kf_x"][:, 3:6],
+                               cs_ref.fbk.root_lin_vel, atol=5e-3)
 
 
 def test_fused_substeps_odd_batch_padding():
