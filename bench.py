@@ -329,6 +329,45 @@ def bench_latency_riccati(ge, horizon=10, warm=False, iters=None):
     return dt * 1e3
 
 
+def bench_latency_pdip_warm(ge, backend, horizon=10, iters=8):
+    """B=1 latency of the CONDENSED PDIP solver warm-started across ticks
+    — the oracle-accuracy path at its closed-loop operating point (the
+    cold 15-iter number is the worst-case first tick; the loop itself
+    always has the previous tick's primal, exactly like the reference's
+    OSQP setWarmStart(true), ConvexQPSolver.cpp:185). GATED on matching a
+    40-iteration converged solve to 0.5 N so it cannot win by
+    under-iterating."""
+    from legged_mpc_control_tpu.mpc import pdip, riccati
+
+    dtype = jnp.float32
+    params, x0, contact = ge._make_problem_batch(1, horizon, dtype)
+    build = ge._qp_batch_fn(params, horizon)
+
+    def solve(x0s, contacts, warm_u, n_it):
+        qp = build(x0s, contacts)
+        res = pdip.solve_qp_pdip_batched(
+            qp.P, qp.q, params.mu, params.fz_max, contacts,
+            iters=n_it, backend=backend, warm_u=warm_u)
+        return res.u
+
+    # tick t: converged solve; tick t+1: schedule shifts one stage
+    u_prev = jax.jit(lambda a, c: solve(a, c, None, 40))(x0, contact)
+    u_prev = jax.block_until_ready(u_prev)
+    contact2 = jnp.concatenate([contact[:, 1:], contact[:, -1:]], axis=1)
+    wu = riccati.warm_shift(u_prev, contact2)
+    fn = jax.jit(lambda a, c, w: solve(a, c, w, iters))
+    got = fn(x0 + 1e-4, contact2, wu)
+    want = jax.jit(lambda a, c, w: solve(a, c, w, 40))(
+        x0 + 1e-4, contact2, wu)
+    err = float(jnp.max(jnp.abs(got - want)))
+    assert err < 0.5, f"warm-{iters} PDIP off converged by {err} N"
+    variants = [(x0 + 1e-4 * k, contact2, wu) for k in range(8)]
+    out = fn(*variants[0])
+    jax.block_until_ready(out)
+    dt = _timeit(fn, variants, n_rep=30)
+    return dt * 1e3
+
+
 def bench_ci_latency(iters=32, horizon=10):
     """B=1 latency (ms) of one contact-implicit MPC policy evaluation —
     the `--mpc ci` product path's MPC-thread body (FB-complementarity
@@ -594,6 +633,15 @@ def main():
         emit("qp_solve_latency_ms_b1_h10_warm_admm30", v, "ms", 2.0 / v)
     except Exception as e:              # pragma: no cover
         print(json.dumps({"metric": "qp_solve_latency_ms_b1_h10_warm_admm30",
+                          "error": repr(e)}), flush=True)
+
+    try:
+        # oracle-accuracy condensed solver at ITS closed-loop operating
+        # point (warm; the cold metric above is the worst-case first tick)
+        v = bench_latency_pdip_warm(ge, backend)
+        emit("qp_solve_latency_ms_b1_h10_warm_pdip8", v, "ms", 2.0 / v)
+    except Exception as e:              # pragma: no cover
+        print(json.dumps({"metric": "qp_solve_latency_ms_b1_h10_warm_pdip8",
                           "error": repr(e)}), flush=True)
 
     try:

@@ -1170,7 +1170,8 @@ def make_ci_lean_reference(z0, wall, feet_target, body_pos, body_eul,
 
 def make_ci_lean_policy(params, wall, feet_target, body_pos, body_eul,
                         terrain=None, horizon=10, dt_plan=0.02, iters=24,
-                        fz_min=2.0, wts: CiWeights = None):
+                        fz_min=2.0, wts: CiWeights = None,
+                        wall_press_m=None):
     """The contact-implicit engine holding a wall-lean as an LciMpc-seam
     policy `(x40, t, warm) -> ((78,), warm')` — same seam contract as
     `make_ci_walk_policy`. Each tick re-solves the CI optimization from
@@ -1196,6 +1197,17 @@ def make_ci_lean_policy(params, wall, feet_target, body_pos, body_eul,
         wts = default_weights()._replace(
             r_f=jnp.asarray(1e-2),
             q_eul=jnp.asarray([150.0, 60.0, 60.0]))
+    if wall_press_m is None:
+        # the plane-pinned press FORCE scales with the joint-space kp the
+        # PD applies across the pin depth, so normalize the preload — not
+        # the depth — across robots (A1 kp 15 -> 2 mm, Go1's hardware
+        # kp 30 -> 1 mm): a fixed 2 mm at Go1's stiffer gains over-presses
+        # the wall beyond what rear-foot friction can cancel and the body
+        # slides backward off the lean (x drifts, press escalates, falls)
+        import numpy as _np
+        press_m = 0.03 / float(_np.mean(_np.asarray(params.kp_foot)))
+    else:
+        press_m = float(wall_press_m)
 
     def policy(x, t, warm):
         dtype = x.dtype
@@ -1205,7 +1217,19 @@ def make_ci_lean_policy(params, wall, feet_target, body_pos, body_eul,
         feet_w = foot_abs + pos[None, :]
 
         gap0, n0 = env_gap_normal(terrain, wall, feet_w)
-        grounded_now = ((x[36:40] > 2.0) | (gap0 < 0.003)).astype(dtype)
+        # contact gate at 15 mm (vs the walk policy's 3 mm): wall feet
+        # read ~0 on the world-z force sensor (wb_read_sensors docstring),
+        # so geometry is the ONLY contact evidence for them — and the
+        # controller's deliberately-mismatched leg kinematics projects
+        # up to ~11 mm of wall-gap bias at the lean's extended front-leg
+        # pose (measured on Go1: true foot at 1.3 mm penetration reads a
+        # 10 mm gap). A tight gate left Go1's wall feet permanently
+        # "airborne": the planned wall press never executed (only the
+        # bootstrap push did) and the uncancelled wall reaction slid the
+        # robot backward off the lean. Generous is safe HERE because the
+        # lean keeps all four feet in sustained contact — there is no
+        # swing phase to mis-gate.
+        grounded_now = ((x[36:40] > 2.0) | (gap0 < 0.015)).astype(dtype)
         # contact-aided foot correction: feet known to be in contact are
         # snapped onto the environment surface along the contact normal
         # before the solve. The measured FK carries a systematic few-mm
@@ -1257,7 +1281,14 @@ def make_ci_lean_policy(params, wall, feet_target, body_pos, body_eul,
         on_wall0 = gap_w0 < gap_g0
         n_w = wall.normal.astype(dtype)
         foot_tgt = Z[1, 12:24].reshape(4, 3)
-        press_wall = feet_w - (gap_w0 + 0.002)[:, None] * n_w[None, :]
+        # for a foot already judged in contact, the measured wall gap is
+        # kinematic-mismatch PHANTOM (up to ~11 mm on Go1) — driving the
+        # PD through it multiplies the press by kp x phantom-depth and
+        # the uncancelled excess shoves the body off the lean. Grounded
+        # feet press only press_m beyond their MEASURED position; only
+        # genuinely airborne feet close their full gap.
+        drive = jnp.where(grounded_now > 0.5, 0.0, gap_w0)
+        press_wall = feet_w - (drive + press_m)[:, None] * n_w[None, :]
         press_gnd = foot_tgt - 0.01 * n0
         stance_tgt = jnp.where(grounded_now[:, None] > 0.5, feet_w,
                                press_gnd)

@@ -456,11 +456,19 @@ def _make_kernel(substeps, dt, dtype, kf1=False):
             infl = [1.0 + (1.0 - c_gate[l]) * 1e3 for l in range(4)]
 
             x_pri = kfx
-            # predict: x_bar = A x + B u,  P_bar = A P A^T + Q
-            xbar = x_pri.at[0:3].add(dt * x_pri[3:6])
-            xbar = xbar.at[3:6].add(dt * jnp.stack(acc))
-            Pp = kfP.at[0:3, :, :].add(dt * kfP[3:6, :, :])
-            Pp = Pp.at[:, 0:3, :].add(dt * Pp[:, 3:6, :])
+            # predict: x_bar = A x + B u,  P_bar = A P A^T + Q.
+            # Assembled by CONCATENATION of static slices — .at[slice].add
+            # on values lowers as scatter-add, which Mosaic TC rejects
+            xbar = jnp.concatenate([
+                x_pri[0:3] + dt * x_pri[3:6],
+                x_pri[3:6] + dt * jnp.stack(acc),
+                x_pri[6:18]])
+            P1 = jnp.concatenate([
+                kfP[0:3, :, :] + dt * kfP[3:6, :, :],
+                kfP[3:18, :, :]], axis=0)
+            Pp = jnp.concatenate([
+                P1[:, 0:3, :] + dt * P1[:, 3:6, :],
+                P1[:, 3:18, :]], axis=1)
             qd = jnp.concatenate(
                 [jnp.full((3, L_lanes), _KF_Q_PIMU * dt / 20.0, dtype),
                  jnp.full((3, L_lanes), _KF_Q_VIMU * dt * 9.8 / 20.0,

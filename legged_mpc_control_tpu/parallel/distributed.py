@@ -148,8 +148,14 @@ def make_sweep(pattern: gait_mod.GaitPattern, mesh: Mesh, *, horizon=10,
                 (final.sim.pos[:, 2] > 0.15).astype(jnp.float32)),
         }
 
-    def sweep(loop, params):
-        final, diag = jax.jit(roll)(loop, params)
+    def sweep(loop, params, stand_ticks_now=None):
+        """stand_ticks_now: optional per-call stand count, passed TRACED
+        so every restart leg reuses one compiled graph (and so hits the
+        persistent compilation cache) regardless of how much of the
+        stand phase a resumed checkpoint already consumed."""
+        st = jnp.asarray(stand_ticks if stand_ticks_now is None
+                         else stand_ticks_now, jnp.int32)
+        final, diag = jax.jit(roll)(loop, params, st)
         m = jax.jit(metrics_of, out_shardings=rep)(final, diag)
         return final, {k: float(v) for k, v in m.items()}
 

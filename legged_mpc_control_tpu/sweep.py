@@ -82,18 +82,26 @@ def main(argv=None):
     sweep = dist.make_sweep(pattern, mesh, horizon=args.horizon,
                             n_ticks=args.ticks, pdip_iters=args.iters,
                             solver=args.solver, walk_velx=args.velx,
-                            stand_ticks=max(0, args.stand_ticks
-                                            - start_tick))
+                            stand_ticks=args.stand_ticks)
 
     import time
     final = metrics = None
-    for rep in range(max(1, args.reps)):
+    n_reps = max(1, args.reps)
+    for rep in range(n_reps):
+        # the stand phase is consumed exactly once across resume legs AND
+        # reps: leg 1 stands for (stand_ticks - start_tick), every later
+        # rep continues walking (re-applying the stand schedule would
+        # briefly command walkers back to stand). Passed TRACED so all
+        # legs/reps share one compiled graph (cache-stable resume).
+        st_now = max(0, args.stand_ticks - start_tick - rep * args.ticks)
         t0 = time.perf_counter()
-        final, metrics = sweep(loop if rep == 0 else final, params_g)
+        final, metrics = sweep(loop if rep == 0 else final, params_g,
+                               stand_ticks_now=st_now)
         wall = time.perf_counter() - t0
     if args.checkpoint:
+        # step records ALL ticks actually advanced (reps included)
         dist.save_sharded(args.checkpoint, final,
-                          step=start_tick + args.ticks)
+                          step=start_tick + n_reps * args.ticks)
 
     out = {
         "scenarios": args.scenarios,

@@ -139,14 +139,14 @@ def test_ci_box_landing_open_loop():
     assert ground[1:-1, 0][loaded_stages].min() > 0.02
 
 
-def _drive_lci_ci(terrain, walk, n_ticks):
-    stand = lci_mpc.make_stand_policy(PARAMS, body_height=0.3)
+def _drive_lci_ci(terrain, walk, n_ticks, params=PARAMS):
+    stand = lci_mpc.make_stand_policy(params, body_height=0.3)
     loop = step_mod.LoopState(
-        controller=step_mod.controller_init(PARAMS, dtype=DTYPE),
-        sim=srb_sim.sim_init(PARAMS, height=0.3, dtype=DTYPE))
+        controller=step_mod.controller_init(params, dtype=DTYPE),
+        sim=srb_sim.sim_init(params, height=0.3, dtype=DTYPE))
     lci = lci_mpc.lci_init(dtype=DTYPE, policy_warm=walk.warm_init(DTYPE))
     tick = jax.jit(lambda lp, lc, t: step_mod.closed_loop_tick_lci(
-        lp, lc, PARAMS, stand, walk, t, terrain=terrain))
+        lp, lc, params, stand, walk, t, terrain=terrain))
     t = 0.0
     for _ in range(20):
         loop, lci = tick(loop, lci, jnp.asarray(t, DTYPE))
@@ -206,4 +206,26 @@ def test_ci_closed_loop_box_step():
                                                            DTYPE)))
              for i in range(4)]
     assert min(under) > 0.027, under             # all four feet on the box
+    assert worst_rp < 0.45, worst_rp
+
+
+def test_ci_closed_loop_box_step_go1():
+    """The box-step capability ON GO1 — the robot the reference's CI-MPC
+    claim names ("our CI-MPC controller can enable Go1 to trot, step on
+    boxes, and lean against wall", reference: README.md:14). Same terrain
+    operating point as the A1 test (rho_warm + 48 sweeps)."""
+    from legged_mpc_control_tpu.config import go1_params
+
+    g = go1_params(DTYPE)
+    terr = terrain_mod.flat(extent=3.0, cell=0.05, dtype=DTYPE)
+    terr = terrain_mod.add_box(terr, center_xy=(1.3, 0.0),
+                               size_xy=(2.2, 2.0), height=0.03)
+    walk = ci_mpc.make_ci_walk_policy(g, terrain=terr, velx=0.12,
+                                      iters=48)
+    loop, worst_rp = _drive_lci_ci(terr, walk, 700, params=g)
+    p = np.asarray(loop.sim.pos)
+    ground = float(terrain_mod.height_at(terr, loop.sim.pos[:2]))
+    assert p[0] > 0.4, p[0]                      # made it to the box
+    assert ground > 0.027, ground                # body is OVER the box
+    assert 0.25 < p[2] - ground < 0.35           # standing height on top
     assert worst_rp < 0.45, worst_rp

@@ -23,8 +23,9 @@ docstrings in make_ci_lean_policy / make_ci_lean_reference):
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from legged_mpc_control_tpu.config import a1_params
+from legged_mpc_control_tpu.config import a1_params, go1_params
 from legged_mpc_control_tpu.control import step as step_mod
 from legged_mpc_control_tpu.models import kinematics as kin
 from legged_mpc_control_tpu.models import whole_body as wb
@@ -33,17 +34,21 @@ from legged_mpc_control_tpu.sim import terrain as terrain_mod
 from legged_mpc_control_tpu.sim import wb_sim
 
 DT = jnp.float32
-MODEL = wb.a1_wb_model()
 PITCH = -0.4
 WALL_X = 0.35
 
 
-def _lean_setup():
-    """A1 at mu=0.6 (rubber-on-wall; the reference's 0.3 is a conservative
-    flat-ground value), front feet 1.5 mm short of the wall plane so
-    contact engages under the policy's own press, not a placement
-    impulse."""
-    params = a1_params(DT).replace(mu=jnp.asarray(0.6, DT))
+def _lean_setup(robot="a1"):
+    """Robot at mu=0.6 (rubber-on-wall; the reference's 0.3 is a
+    conservative flat-ground value), front feet 1.5 mm short of the wall
+    plane so contact engages under the policy's own press, not a
+    placement impulse. Parameterized over A1 AND Go1 — the reference's
+    claim is Go1-specific (README.md:14 \"enable Go1 to ... lean against
+    wall\"); the lean geometry (wall at x=0.35, rear feet at -0.17) is
+    reachable for both robots' leg envelopes."""
+    model = wb.wb_model_for(robot)
+    base = a1_params(DT) if robot == "a1" else go1_params(DT)
+    params = base.replace(mu=jnp.asarray(0.6, DT))
     terr = terrain_mod.flat(dtype=DT)
     wall = terrain_mod.wall_at_x(WALL_X, dtype=DT)
     pos = jnp.array([0.0, 0.0, 0.32], DT)
@@ -57,23 +62,26 @@ def _lean_setup():
     foot_rel = (feet_w - pos[None, :]) @ R
     qj = kin.ik_legs(foot_rel,
                      jnp.tile(jnp.array([0.0, 0.8, -1.6], DT), (4, 1)),
-                     wb_sim.wb_rho_fix(MODEL, DT))
+                     wb_sim.wb_rho_fix(model, DT))
     q0 = jnp.concatenate([pos, jnp.array([0.0, PITCH, 0.0], DT),
                           qj.reshape(-1)])
     sim = wb_sim.WbSimState(q=q0, v=jnp.zeros(18, DT),
-                            anchor=wb.foot_positions(q0, MODEL)[:, :2],
-                            wall_anchor=wb.foot_positions(q0, MODEL),
+                            anchor=wb.foot_positions(q0, model)[:, :2],
+                            wall_anchor=wb.foot_positions(q0, model),
                             f_contact=jnp.zeros((4, 3), DT),
                             last_acc=jnp.zeros(3, DT))
-    return params, terr, wall, pos, feet_tgt, feet_w, sim
+    return params, model, terr, wall, pos, feet_tgt, feet_w, sim
 
 
-def test_ci_wall_lean_closed_loop():
+@pytest.mark.parametrize("robot", ["a1", "go1"])
+def test_ci_wall_lean_closed_loop(robot):
     """Hold the lean for 2.5 s of closed loop: both front feet sustain
     wall-normal force the whole time, the nose-up pitch is held, roll
     stays small, and the body never collapses — the reference's wall-lean
-    capability (README.md:14), torque-level on articulated dynamics."""
-    params, terr, wall, pos, feet_tgt, feet_w, sim = _lean_setup()
+    capability, on the robot the reference claims it for (Go1,
+    README.md:14) and on A1, torque-level on articulated dynamics."""
+    params, model, terr, wall, pos, feet_tgt, feet_w, sim = _lean_setup(
+        robot)
     lean = ci_mpc.make_ci_lean_policy(
         params, wall, feet_tgt, pos, jnp.array([0.0, PITCH, 0.0], DT),
         terrain=terr, iters=24)
@@ -88,7 +96,7 @@ def test_ci_wall_lean_closed_loop():
     lci = lci.replace(prev_foot_pos=feet_w - pos[None, :],
                       prev_foot_vel=jnp.zeros((4, 3), DT))
     tick = jax.jit(lambda lp, lc, t: step_mod.closed_loop_tick_lci_wb(
-        lp, lc, params, MODEL, stand, lean, t, terrain=terr, wall=wall))
+        lp, lc, params, model, stand, lean, t, terrain=terr, wall=wall))
 
     t = 0.0
     hist = []
@@ -123,7 +131,7 @@ def test_ci_lean_plan_is_equilibrium():
     """Open-loop sanity: from the exact lean pose the CI solve returns a
     torque-balanced plan — wall press ~ preload, rear feet carrying the
     weight, and the planned body pose flat across the horizon."""
-    params, terr, wall, pos, feet_tgt, feet_w, sim = _lean_setup()
+    params, model, terr, wall, pos, feet_tgt, feet_w, sim = _lean_setup()
     eul = jnp.array([0.0, PITCH, 0.0], DT)
     z0 = jnp.concatenate([pos, eul, jnp.zeros(6, DT), feet_tgt.reshape(-1)])
     refs_z, refs_u, U0 = ci_mpc.make_ci_lean_reference(
