@@ -592,11 +592,14 @@ def admm_warm_init(batch: int, horizon: int, dtype=jnp.float32):
 
 
 def unpack_fused_feedback(cs: ControllerState, sim, out,
-                          params: RobotParams) -> ControllerState:
+                          params: RobotParams,
+                          kf_type: int = 0) -> ControllerState:
     """Rebuild the Feedback pytree + Raibert targets from the fused substep
     kernel's FB_ROWS block — the batched equivalent of `feedback_update`
-    with kf_type=0 on flat ground (see ops/substep_pallas.py kernel tail).
-    All arrays batch-first."""
+    on flat ground (see ops/substep_pallas.py kernel tail). Under
+    kf_type=1 the root state is the in-kernel KF's ESTIMATE (what
+    fbk.root_pos/root_lin_vel hold on the XLA path). All arrays
+    batch-first."""
     from legged_mpc_control_tpu.ops.substep_pallas import FB_ROWS
 
     fb = out["fb"]
@@ -619,9 +622,14 @@ def unpack_fused_feedback(cs: ControllerState, sim, out,
     fp_abs = take("foot_pos_abs", 4, 3)
     fv_abs = take("foot_vel_abs", 4, 3)
     raib_abs = take("raibert_abs", 4, 3)
+    if kf_type == 1:
+        root_pos = out["kf_x"][:, 0:3]
+        root_vel = out["kf_x"][:, 3:6]
+    else:
+        root_pos, root_vel = out["pos"], out["vel"]
     fbk = cs.fbk.replace(
-        root_quat=out["quat"], root_pos=out["pos"],
-        root_lin_vel=out["vel"], root_euler=euler, root_rot_mat=R,
+        root_quat=out["quat"], root_pos=root_pos,
+        root_lin_vel=root_vel, root_euler=euler, root_rot_mat=R,
         root_rot_mat_z=Rz, root_ang_vel=out["omega"],
         imu_acc=take("imu_acc"), imu_ang_vel=take("imu_gyro"),
         joint_pos=out["q"], joint_vel=out["dq"],
@@ -632,7 +640,7 @@ def unpack_fused_feedback(cs: ControllerState, sim, out,
         foot_vel_rel=take("foot_vel_rel", 4, 3),
         jac_foot=take("jac", 4, 3, 3),
         foot_pos_abs=fp_abs, foot_vel_abs=fv_abs,
-        foot_pos_world=fp_abs + out["pos"][:, None, :],
+        foot_pos_world=fp_abs + root_pos[:, None, :],
         foot_vel_world=take("foot_vel_world", 4, 3),
         foot_force_tau_est=take("force_tau_est", 4, 3),
     )
@@ -640,7 +648,7 @@ def unpack_fused_feedback(cs: ControllerState, sim, out,
         joint_ang_tgt=out["q_tgt"], joint_vel_tgt=out["dq_tgt"],
         joint_tau_tgt=out["tau_ff"],
         foot_pos_target_abs=raib_abs,
-        foot_pos_target_world=raib_abs + out["pos"][:, None, :],
+        foot_pos_target_world=raib_abs + root_pos[:, None, :],
     )
     return cs.replace(fbk=fbk, ctrl=ctrl,
                       estimation_inited=jnp.ones((B,), dtype=bool))
@@ -698,7 +706,6 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
     cs = loop.controller
     use_fused = (fused_substeps and backend == "pallas" and terrain is None
                  and kf_type in (0, 1) and low_level_type == 0)
-    carry_feedback = carry_feedback and kf_type == 0
     if not (carry_feedback and use_fused):
         # opening feedback from raw sim sensors. With carry_feedback the
         # previous tick's fused kernel already left a complete Feedback in
@@ -743,7 +750,8 @@ def closed_loop_tick_batched(loop: LoopState, params: RobotParams,
             cs = cs.replace(kf=cs.kf.replace(x=out["kf_x"],
                                              P=out["kf_P"]))
         if carry_feedback:
-            cs = unpack_fused_feedback(cs, sim, out, params)
+            cs = unpack_fused_feedback(cs, sim, out, params,
+                                       kf_type=kf_type)
         else:
             cs = cs.replace(ctrl=cs.ctrl.replace(
                 joint_ang_tgt=out["q_tgt"], joint_vel_tgt=out["dq_tgt"],

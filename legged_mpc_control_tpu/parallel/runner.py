@@ -100,7 +100,7 @@ def make_batched_rollout(pattern: gait_mod.GaitPattern, *, horizon=10,
         # skips the XLA feedback pass
         eff_backend = backend or step_mod.default_backend()
         carry_fb = (fused_substeps and eff_backend == "pallas"
-                    and kf_type == 0 and low_level_type == 0)
+                    and kf_type in (0, 1) and low_level_type == 0)
         if carry_fb:
             loop = step_mod.seed_batched_feedback(
                 loop, params_b, kf_type=kf_type, substeps=substeps)
