@@ -455,6 +455,45 @@ def bench_ci_closed_loop(batch=256, n_ticks=10, iters=24):
             batch, dtype=dtype, policy_warm=walk.warm_init(batch, dtype))
         return (loop, lci)
 
+    # --- fidelity gate (untimed): the timed 24-sweep warm operating
+    # point must land in the same DISTRIBUTION as a 48-sweep run (the
+    # terrain-grade sweep count) — contact make/break is chaotic, so the
+    # body statistics are the semantic contract, as in bench_closed_loop
+    def gate_roll(it):
+        w = ci_mpc.make_ci_walk_policy_batched(params, terrain=terr,
+                                               velx=0.1, iters=it)
+
+        def roll(loop, lci):
+            def body(carry, k):
+                loop, lci = carry
+                loop, lci = step_mod.closed_loop_tick_lci_batched(
+                    loop, lci, params, stand, w,
+                    0.01 * k.astype(dtype), terrain=None)
+                return (loop, lci), None
+            (loop, lci), _ = jax.lax.scan(body, (loop, lci),
+                                          jnp.arange(60))
+            return loop, lci
+        return jax.jit(roll), w
+
+    g24, w24 = gate_roll(iters)
+    g48, w48 = gate_roll(48)
+    loop32 = runner.init_loop_batch(params, 32, jax.random.PRNGKey(7),
+                                    dtype=dtype)
+    cs32 = loop32.controller
+    cs32 = cs32.replace(ctrl=cs32.ctrl.replace(
+        movement_mode=jnp.ones((32,), jnp.int32)))
+    loop32 = loop32.replace(controller=cs32)
+    out24, _ = g24(loop32, lci_mpc.lci_init_batched(
+        32, dtype=dtype, policy_warm=w24.warm_init(32, dtype)))
+    out48, _ = g48(loop32, lci_mpc.lci_init_batched(
+        32, dtype=dtype, policy_warm=w48.warm_init(32, dtype)))
+    for a, b, tol, what in (
+            (out24.sim.pos[:, 2], out48.sim.pos[:, 2], 0.01, "height"),
+            (out24.sim.pos[:, 0], out48.sim.pos[:, 0], 0.02, "progress")):
+        d = abs(float(jnp.mean(a)) - float(jnp.mean(b)))
+        assert d < tol, f"warm iters={iters} diverges in mean {what}: {d}"
+    assert float(jnp.min(out24.sim.pos[:, 2])) > 0.15, "gate run fell"
+
     # walk in for 20 ticks (untimed) so every timed tick is a warm,
     # mid-trot tick; two variants so repeated timing can't be served from
     # a result cache

@@ -56,6 +56,21 @@ def test_fused_matches_xla():
                                np.asarray(Ux[..., 12:24]), atol=2e-2)
 
 
+def test_fused_gating():
+    """The kernel serves exactly the flat-zero/no-wall/short-horizon/f32
+    problems; anything else must stay on the XLA path."""
+    flat = terrain_mod.flat(dtype=DTYPE)
+    boxed = terrain_mod.add_box(flat, center_xy=(1.0, 0.0),
+                                size_xy=(1.0, 1.0), height=0.03)
+    wall = terrain_mod.wall_at_x(0.4, dtype=DTYPE)
+    assert ci_mpc.ci_pallas_available(flat, None, 10, DTYPE)
+    assert ci_mpc.ci_pallas_available(flat, None, 12, DTYPE)
+    assert not ci_mpc.ci_pallas_available(boxed, None, 10, DTYPE)
+    assert not ci_mpc.ci_pallas_available(flat, wall, 10, DTYPE)
+    assert not ci_mpc.ci_pallas_available(flat, None, 13, DTYPE)
+    assert not ci_mpc.ci_pallas_available(flat, None, 10, jnp.float64)
+
+
 def test_fused_standing_equilibrium():
     """The kernel path solves the standing problem to the same physics
     gates as the solver tests: mg/4 per foot, body pinned."""
