@@ -78,6 +78,10 @@ def main(argv=None):
         loop = dist.device_sharded_loop(params, args.scenarios,
                                         jax.random.PRNGKey(0), mesh,
                                         dtype=dtype)
+    # flush the (async) host->device transfers NOW: the timed region
+    # below measures sweep compute, not checkpoint-restore bandwidth —
+    # through a tunneled TPU a 65k-scenario restore is hundreds of MB
+    loop = jax.block_until_ready(loop)
     params_g = dist.replicate_global(mesh, params)
     sweep = dist.make_sweep(pattern, mesh, horizon=args.horizon,
                             n_ticks=args.ticks, pdip_iters=args.iters,
